@@ -1,0 +1,30 @@
+"""irgs_tpu — TPU-native inverse-rendering framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of IRGS
+("Inter-Reflective Gaussian Splatting with 2D Gaussian Ray Tracing",
+CVPR 2025; reference implementation: PyTorch + CUDA/OptiX).
+
+Layer map (bottom → top), mirroring the reference's structure but with
+TPU-first architecture:
+
+  ops/       — differentiable surfel rasterizer, surfel ray tracer, knn,
+               cubemap filtering (≙ the reference CUDA submodules)
+  scene/     — GaussianScene pytree, environment lights, cameras, datasets
+  render/    — renderers: initial 2DGS, deferred stage-1, IRGS stage-2
+               rendering equation
+  train/     — losses, optimizers, stage-1/stage-2 training loops
+  parallel/  — jax.sharding mesh helpers; multi-chip data/sample parallel
+  eval/      — NVS / material / relighting metrics and scripts
+"""
+
+__version__ = "0.1.0"
+
+import jax as _jax
+
+# Inverse rendering has a ~0.1 dB PSNR parity budget (BASELINE.md): the
+# default TPU matmul precision (bf16 inputs) costs ~1e-3 relative error in
+# blend/transform matmuls, which is visible at that budget. All framework
+# matmuls are small (3x3 transforms, [256,K]@[K,C] blends), so fp32 inputs
+# are affordable; individual hot ops may opt back down after measurement.
+_jax.config.update("jax_default_matmul_precision", "highest")
+

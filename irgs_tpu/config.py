@@ -1,0 +1,213 @@
+"""Unified configuration system.
+
+Replaces the reference's two diverging argparse trees
+(`arguments/__init__.py` ModelParams/PipelineParams/OptimizationParams and
+the stage-1 copies in `arguments/refgs.py`) with one dataclass tree that
+
+* provides the same knob surface (same names/defaults where they exist),
+* serializes to JSON in the model dir (`cfg.json`) so eval binaries are
+  self-configuring from a training run dir, mirroring `get_combined_args`
+  (arguments/__init__.py:157-177),
+* exposes an argparse bridge so CLIs accept `--knob value` overrides.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field, fields
+
+
+@dataclass
+class ModelConfig:
+    # Rendering settings (reference ModelParams, arguments/__init__.py:52-80)
+    sh_degree: int = 3
+    resolution: int = -1
+    white_background: bool = False
+    source_path: str = ""
+    model_path: str = ""
+    images: str = "images"
+    eval: bool = False
+    # EnvLight settings
+    envmap_resolution: int = 128
+    relight: bool = False
+    envmap_init_value: float = 1.5
+    envmap_activation: str = "exp"
+    # TPU-specific: static Gaussian capacity (densify/prune never reallocates)
+    max_gaussians: int = 2 ** 18
+
+
+@dataclass
+class PipelineConfig:
+    # reference PipelineParams (arguments/__init__.py:84-101)
+    depth_ratio: float = 0.0
+    debug: bool = False
+    light_sample_num: int = 0
+    diffuse_sample_num: int = 256
+    specular_sample_num: int = 0
+    light_t_min: float = 0.05
+    wo_indirect: bool = False
+    wo_indirect_relight: bool = False
+    detach_indirect: bool = False
+    # TPU tracer knobs (reference hardwires these in CUDA:
+    # surfel_tracer/src/optix/auxiliary.h:10-12, scene/gaussian_model.py:118)
+    transmittance_min: float = 0.03
+    alpha_min: float = 1.0 / 255.0
+    t_scene_max: float = 100.0
+    tracer_grid_res: int = 64
+    tracer_cell_capacity: int = 48
+    tracer_max_steps: int = 192
+    # rendering-equation eval chunk (reference: 2**20 point-samples,
+    # gaussian_renderer/__init__.py:314)
+    eval_chunk_point_samples: int = 2 ** 20
+
+
+@dataclass
+class OptimizationConfig:
+    # reference OptimizationParams (arguments/__init__.py:104-154)
+    iterations: int = 20_000
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 0.0000016
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30_000
+    features_lr: float = 0.0075
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+    lr_scale: float = 0.0
+    base_color_lr: float = 0.0075
+    metallic_lr: float = 0.005
+    roughness_lr: float = 0.005
+    envmap_cubemap_lr: float = 0.1
+
+    lambda_dssim: float = 0.2
+    lambda_dist: float = 0.0
+    lambda_normal_render_depth: float = 0.05
+    lambda_normal_smooth: float = 0.01
+    lambda_depth_smooth: float = 0.0
+    lambda_mask_entropy: float = 0.01
+    lambda_base_color_smooth: float = 0.0
+    lambda_roughness_smooth: float = 0.0
+    lambda_metallic_smooth: float = 0.0
+    lambda_light: float = 0.0
+    lambda_light_smooth: float = 0.0
+
+    init_roughness_value: float = 0.7
+    init_base_color_value: float = 0.3
+    init_metallic_value: float = 0.2
+
+    percent_dense: float = 0.01
+    densification_interval: int = 100
+    opacity_reset_interval: int = 3000
+    densify_from_iter: int = 500
+    densify_until_iter: int = 25000
+    densify_grad_threshold: float = 0.0002
+    prune_opacity_threshold: float = 0.005
+
+    normal_loss_start: int = 1000
+    dist_loss_start: int = 1000
+
+    train_ray: bool = False
+    trace_num_rays: int = 2 ** 18
+
+
+@dataclass
+class Stage1OptimizationConfig(OptimizationConfig):
+    # stage-1 overrides + extra schedule knobs (arguments/refgs.py:98-191)
+    iterations: int = 50_000
+    envmap_cubemap_lr: float = 0.01
+    lambda_normal_smooth: float = 0.0
+    lambda_mask_entropy: float = 0.0
+    init_roughness_value: float = 0.1
+    init_metallic_value: float = 0.01
+    prune_opacity_threshold: float = 0.05
+    normal_loss_start: int = 0
+    dist_loss_start: int = 3000
+
+    init_until_iter: int = 0
+    volume_render_until_iter: int = 18000
+    normal_smooth_from_iter: int = 0
+    normal_smooth_until_iter: int = 18000
+    indirect_from_iter: int = 20000
+    feature_rest_from_iter: int = 5000
+    normal_prop_until_iter: int = 25_000
+    normal_prop_interval: int = 1000
+    opac_lr0_interval: int = 200
+    densification_interval_when_prop: int = 500
+    rough_msk_thr: float = 0.01
+    metallic_msk_thr: float = 0.02
+    enlarge_scale: float = 1.5
+    # meshing
+    voxel_size: float = -1.0
+    depth_trunc: float = -1.0
+    sdf_trunc: float = -1.0
+    mesh_res: int = 512
+    num_cluster: int = 1
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    pipe: PipelineConfig = field(default_factory=PipelineConfig)
+    opt: OptimizationConfig = field(default_factory=OptimizationConfig)
+
+    def save(self, model_path: str | None = None) -> str:
+        path = os.path.join(model_path or self.model.model_path, "cfg.json")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)
+        return path
+
+
+def stage1_config() -> Config:
+    return Config(opt=Stage1OptimizationConfig())
+
+
+def _apply_flat(cfg: Config, flat: dict) -> None:
+    for group in (cfg.model, cfg.pipe, cfg.opt):
+        names = {f.name for f in fields(group)}
+        for k, v in flat.items():
+            if k in names and v is not None:
+                setattr(group, k, v)
+
+
+def load_config(model_path: str, stage1: bool = False) -> Config:
+    """Replay a training run's config from its model dir (cfg replay)."""
+    cfg = stage1_config() if stage1 else Config()
+    path = os.path.join(model_path, "cfg.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            stored = json.load(f)
+        for gname in ("model", "pipe", "opt"):
+            _apply_flat_group(getattr(cfg, gname), stored.get(gname, {}))
+    cfg.model.model_path = model_path
+    return cfg
+
+
+def _apply_flat_group(group, d: dict) -> None:
+    names = {f.name for f in fields(group)}
+    for k, v in d.items():
+        if k in names:
+            setattr(group, k, v)
+
+
+def add_config_args(parser: argparse.ArgumentParser, cfg: Config) -> None:
+    """Register every config field as a --flag (booleans as store_true)."""
+    seen = set()
+    for group in (cfg.model, cfg.pipe, cfg.opt):
+        for f in fields(group):
+            if f.name in seen:
+                continue
+            seen.add(f.name)
+            default = getattr(group, f.name)
+            if isinstance(default, bool):
+                parser.add_argument(f"--{f.name}", action="store_true", default=None)
+            else:
+                parser.add_argument(f"--{f.name}", type=type(default), default=None)
+
+
+def apply_args(cfg: Config, args: argparse.Namespace) -> Config:
+    _apply_flat(cfg, vars(args))
+    return cfg

@@ -1,0 +1,247 @@
+"""GaussianScene — the Gaussian-surfel model state as a static-capacity pytree.
+
+Re-designs the reference's mutable `GaussianModel` (scene/gaussian_model.py:50)
+for XLA: every array has a fixed capacity `N_max` with an `alive` mask, so
+densify/clone/split/prune are pure gather/scatter functions that never change
+shapes (no recompiles, no optimizer-state "surgery" — optax state is a pytree
+gathered with the same permutation).
+
+Raw (pre-activation) parameters, matching the reference activations
+(gaussian_model.py:60-77):
+  scaling:    log-scale, 2D (surfels)         -> exp
+  opacity:    logit                           -> sigmoid
+  base_color: logit-ish                       -> sigmoid * 0.77 + 0.03
+  metallic/roughness: logit                   -> sigmoid
+  rotation:   unnormalized quaternion (wxyz)  -> normalize
+  env:        lat-long grid, log-space        -> exp (configurable)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import math3d, sh as sh_utils
+from ..utils.ply import read_ply, structured_from_dict, write_ply
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["xyz", "base_color", "metallic", "roughness",
+                      "features_dc", "features_rest", "scaling", "rotation",
+                      "opacity", "env"],
+         meta_fields=["max_sh_degree"])
+@dataclasses.dataclass
+class GaussianParams:
+    """Differentiable parameters (the optax-optimized pytree)."""
+    xyz: jnp.ndarray            # [N, 3]
+    base_color: jnp.ndarray     # [N, 3] raw
+    metallic: jnp.ndarray       # [N, 1] raw
+    roughness: jnp.ndarray      # [N, 1] raw
+    features_dc: jnp.ndarray    # [N, 1, 3] SH dc
+    features_rest: jnp.ndarray  # [N, K-1, 3]
+    scaling: jnp.ndarray        # [N, 2] log
+    rotation: jnp.ndarray       # [N, 4] unnormalized quats
+    opacity: jnp.ndarray        # [N, 1] logit
+    env: jnp.ndarray            # [He, We, 3] raw lat-long envmap
+    max_sh_degree: int = 3
+
+    # ---- activations -----------------------------------------------------
+    @property
+    def n_capacity(self) -> int:
+        return self.xyz.shape[0]
+
+    def get_scaling(self):
+        return jnp.exp(self.scaling)
+
+    def get_rotation(self):
+        return math3d.quat_normalize(self.rotation)
+
+    def get_opacity(self):
+        return jax.nn.sigmoid(self.opacity)
+
+    def get_base_color(self):
+        return jax.nn.sigmoid(self.base_color) * 0.77 + 0.03
+
+    def get_metallic(self):
+        return jax.nn.sigmoid(self.metallic)
+
+    def get_roughness(self):
+        return jax.nn.sigmoid(self.roughness)
+
+    def get_features(self):
+        return jnp.concatenate([self.features_dc, self.features_rest], axis=1)
+
+    def world_normals(self, cam_pos=None):
+        """Per-Gaussian world normal = 3rd rotation column; optionally flipped
+        toward the camera (≙ GaussianModel.trace normal setup,
+        scene/gaussian_model.py:743-747)."""
+        R = math3d.quat_to_rotmat(self.rotation)
+        n = R[:, :, 2]
+        if cam_pos is not None:
+            n, _ = math3d.flip_align_view(n, self.xyz - cam_pos)
+        return math3d.safe_normalize(n)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["alive", "max_radii2d", "xyz_gradient_accum", "denom",
+                      "active_sh_degree"],
+         meta_fields=[])
+@dataclasses.dataclass
+class GaussianAux:
+    """Non-optimized bookkeeping (alive mask + densification stats)."""
+    alive: jnp.ndarray              # [N] bool
+    max_radii2d: jnp.ndarray        # [N] float
+    xyz_gradient_accum: jnp.ndarray  # [N]
+    denom: jnp.ndarray              # [N]
+    active_sh_degree: jnp.ndarray   # scalar int32
+
+    @property
+    def n_alive(self):
+        return jnp.sum(self.alive.astype(jnp.int32))
+
+
+def inverse_base_color_activation(x):
+    return math3d.inverse_sigmoid((x - 0.03) / 0.77)
+
+
+def create_from_pcd(points: np.ndarray, colors: np.ndarray, n_capacity: int,
+                    max_sh_degree: int = 3, env_resolution: int = 128,
+                    env_init_value: float = 1.5,
+                    init_base_color: float = 0.5, init_metallic: float = 0.5,
+                    init_roughness: float = 0.5,
+                    knn_dist2: np.ndarray | None = None):
+    """Initialize from a point cloud (≙ GaussianModel.create_from_pcd,
+    scene/gaussian_model.py:339-373), padded to static capacity."""
+    from ..ops.knn import mean_knn_dist2
+
+    n = points.shape[0]
+    assert n <= n_capacity, f"{n} points > capacity {n_capacity}"
+    k = (max_sh_degree + 1) ** 2
+
+    if knn_dist2 is None:
+        knn_dist2 = mean_knn_dist2(jnp.asarray(points, jnp.float32))
+    dist2 = np.maximum(np.asarray(knn_dist2), 1e-7)
+    scales = np.repeat(np.log(np.sqrt(dist2))[:, None], 2, axis=1)
+
+    def pad(x, fill=0.0):
+        out = np.full((n_capacity,) + x.shape[1:], fill, np.float32)
+        out[:n] = x
+        return jnp.asarray(out)
+
+    rng = np.random.RandomState(0)
+    fdc = sh_utils.rgb2sh(np.asarray(colors, np.float32)).reshape(n, 1, 3)
+
+    params = GaussianParams(
+        xyz=pad(np.asarray(points, np.float32)),
+        base_color=pad(np.full((n, 3), float(inverse_base_color_activation(jnp.float32(init_base_color))))),
+        metallic=pad(np.full((n, 1), float(math3d.inverse_sigmoid(jnp.float32(init_metallic))))),
+        roughness=pad(np.full((n, 1), float(math3d.inverse_sigmoid(jnp.float32(init_roughness))))),
+        features_dc=pad(fdc),
+        features_rest=pad(np.zeros((n, k - 1, 3), np.float32)),
+        scaling=pad(scales, fill=-10.0),
+        rotation=pad(rng.rand(n, 4).astype(np.float32), fill=1.0),
+        opacity=pad(np.full((n, 1), float(math3d.inverse_sigmoid(jnp.float32(0.1)))), fill=-12.0),
+        env=jnp.full((env_resolution // 2, env_resolution, 3),
+                     np.log(env_init_value), jnp.float32),
+        max_sh_degree=max_sh_degree,
+    )
+    aux = GaussianAux(
+        alive=jnp.arange(n_capacity) < n,
+        max_radii2d=jnp.zeros(n_capacity),
+        xyz_gradient_accum=jnp.zeros(n_capacity),
+        denom=jnp.zeros(n_capacity),
+        active_sh_degree=jnp.int32(0),
+    )
+    return params, aux
+
+
+# ---------------------------------------------------------------------------
+# PLY artifact I/O — same attribute layout as the reference
+# (construct_list_of_attributes, scene/gaussian_model.py:409-424)
+# ---------------------------------------------------------------------------
+
+def save_ply(path: str, params: GaussianParams, aux: GaussianAux) -> None:
+    alive = np.asarray(aux.alive)
+    sel = lambda x: np.asarray(x)[alive]
+    fields = {}
+    xyz = sel(params.xyz)
+    for i, c in enumerate("xyz"):
+        fields[c] = xyz[:, i]
+    fdc = sel(params.features_dc).transpose(0, 2, 1).reshape(len(xyz), -1)
+    for i in range(fdc.shape[1]):
+        fields[f"f_dc_{i}"] = fdc[:, i]
+    frest = sel(params.features_rest).transpose(0, 2, 1).reshape(len(xyz), -1)
+    for i in range(frest.shape[1]):
+        fields[f"f_rest_{i}"] = frest[:, i]
+    fields["opacity"] = sel(params.opacity)[:, 0]
+    fields["metallic"] = sel(params.metallic)[:, 0]
+    fields["roughness"] = sel(params.roughness)[:, 0]
+    bc = sel(params.base_color)
+    for i in range(3):
+        fields[f"base_color_{i}"] = bc[:, i]
+    sc = sel(params.scaling)
+    for i in range(sc.shape[1]):
+        fields[f"scale_{i}"] = sc[:, i]
+    rt = sel(params.rotation)
+    for i in range(4):
+        fields[f"rot_{i}"] = rt[:, i]
+    write_ply(path, structured_from_dict(fields), comments=("irgs_tpu gaussian surfels",))
+    # envmap sidecar (≙ point_cloud1.map / .exr, gaussian_model.py:449-468)
+    np.save(path.replace(".ply", "_env.npy"), np.asarray(params.env))
+
+
+def load_ply(path: str, n_capacity: int, max_sh_degree: int = 3):
+    el = read_ply(path)["vertex"].data
+    n = len(el)
+    assert n <= n_capacity, f"{n} points > capacity {n_capacity}"
+    k = (max_sh_degree + 1) ** 2
+
+    def col(*names):
+        return np.stack([np.asarray(el[nm], np.float32) for nm in names], axis=1)
+
+    xyz = col("x", "y", "z")
+    fdc = col("f_dc_0", "f_dc_1", "f_dc_2").reshape(n, 3, 1)
+    rest_names = sorted((nm for nm in el.dtype.names if nm.startswith("f_rest_")),
+                        key=lambda s: int(s.split("_")[-1]))
+    frest = col(*rest_names).reshape(n, 3, k - 1) if rest_names else np.zeros((n, 3, 0), np.float32)
+    base_color = col("base_color_0", "base_color_1", "base_color_2")
+    scaling = col("scale_0", "scale_1")
+    rot = col("rot_0", "rot_1", "rot_2", "rot_3")
+
+    def pad(x, fill=0.0):
+        out = np.full((n_capacity,) + x.shape[1:], fill, np.float32)
+        out[:n] = x
+        return jnp.asarray(out)
+
+    import os
+    env_path = path.replace(".ply", "_env.npy")
+    if os.path.exists(env_path):
+        env = jnp.asarray(np.load(env_path))
+    else:
+        env = jnp.zeros((64, 128, 3), jnp.float32)
+
+    params = GaussianParams(
+        xyz=pad(xyz),
+        base_color=pad(base_color),
+        metallic=pad(col("metallic")),
+        roughness=pad(col("roughness")),
+        features_dc=pad(fdc.transpose(0, 2, 1)),
+        features_rest=pad(frest.transpose(0, 2, 1)),
+        scaling=pad(scaling, fill=-10.0),
+        rotation=pad(rot, fill=1.0),
+        opacity=pad(col("opacity"), fill=-12.0),
+        env=env,
+        max_sh_degree=max_sh_degree,
+    )
+    aux = GaussianAux(
+        alive=jnp.arange(n_capacity) < n,
+        max_radii2d=jnp.zeros(n_capacity),
+        xyz_gradient_accum=jnp.zeros(n_capacity),
+        denom=jnp.zeros(n_capacity),
+        active_sh_degree=jnp.int32(max_sh_degree),
+    )
+    return params, aux
