@@ -1,0 +1,78 @@
+"""Benchmark: stage-2 training throughput at the reference workload.
+
+Workload (BASELINE.md): 400x400 frame, ~100k gaussians, diffuse_sample_num=256,
+trace_num_rays=2^18 (=> 1024 MC-shaded pixels/step), full-frame rasterization
++ G-buffer losses, tracer-visibility rendering equation, Adam update.
+Target: >= 1 stage-2 iter/s per TPU v5e chip (vs_baseline = iters_per_sec / 1.0).
+
+Prints ONE JSON line: {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from irgs_tpu.config import Config
+    from irgs_tpu.ops import grid_tracer as gt
+    from irgs_tpu.scene import toy
+    from irgs_tpu.train import stage2 as s2
+
+    n_surface = 100_000
+    img = 400
+    params, aux = toy.make_sphere_scene(n_surface=n_surface,
+                                        n_capacity=2 ** 17,
+                                        env_resolution=128)
+    cams = toy.make_ring_cameras(8, width=img, height_px=img)
+
+    import dataclasses
+
+    cfg = Config()
+    cfg.pipe.diffuse_sample_num = 256
+    cfg.opt.trace_num_rays = 2 ** 18
+    st = s2.from_configs(cfg, img_w=img, img_h=img)
+    st = dataclasses.replace(st, dup_capacity=2 ** 20)
+
+    grid = gt.build_grid_from_gaussians(params, aux, st.tracer)
+    state, optimizer = s2.init_state(params, aux, cfg.opt)
+
+    # synthetic GT: plain gray frames (throughput does not depend on content)
+    gts = [jnp.full((img, img, 3), 0.5) for _ in cams]
+    cam_params = [c.params() for c in cams]
+    key = jax.random.PRNGKey(0)
+
+    def step(state, i, key):
+        return s2.stage2_step(state, grid, cam_params[i % len(cams)],
+                              gts[i % len(cams)], None, key,
+                              st=st, optimizer=optimizer)
+
+    # warmup / compile
+    state, _ = step(state, 0, key)
+    jax.block_until_ready(state.params.xyz)
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for i in range(1, n_iters + 1):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, i, k)
+    jax.block_until_ready(state.params.xyz)
+    dt = time.perf_counter() - t0
+    iters_per_sec = n_iters / dt
+
+    print(json.dumps({
+        "metric": "stage2_train_iters_per_sec",
+        "value": round(iters_per_sec, 4),
+        "unit": "iter/s (400x400, 100k gaussians, 256spp x 1024 rays)",
+        "vs_baseline": round(iters_per_sec / 1.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

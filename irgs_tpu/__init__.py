@@ -28,3 +28,17 @@ import jax as _jax
 # are affordable; individual hot ops may opt back down after measurement.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Large jitted programs (rasterizer + tracer + AD) take minutes to compile on
+# the TPU AOT path; cache them across processes.
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "IRGS_TPU_COMPILE_CACHE",
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..", ".jax_cache"),
+)
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:  # cache is an optimization, never a requirement
+    pass
+

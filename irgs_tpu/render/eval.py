@@ -1,0 +1,119 @@
+"""Full-frame eval rendering (NVS path).
+
+≙ render_ir with training=False (gaussian_renderer/__init__.py:73-312) +
+rendering_equation_chunk (:314-322): every pixel is MC-shaded in fixed-size
+chunks, composing the same ~20 AOV set the reference returns.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import grid_tracer as gt
+from ..ops import surfel_raster as sr
+from ..scene import envlight
+from ..scene.cameras import CameraParams
+from ..utils.math3d import rgb_to_srgb
+from . import ir
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    img_w: int
+    img_h: int
+    active_sh_degree: int = 3
+    diffuse_sample_num: int = 512
+    light_sample_num: int = 256
+    light_t_min: float = 0.05
+    wo_indirect: bool = False
+    white_background: bool = False
+    dup_capacity: int = 2 ** 21
+    chunk_point_samples: int = 2 ** 20     # reference chunk budget
+    tracer: gt.TracerConfig = dataclasses.field(default_factory=gt.TracerConfig)
+
+    @property
+    def pixel_chunk(self) -> int:
+        s = self.diffuse_sample_num + self.light_sample_num
+        c = max(self.chunk_point_samples // s, 128)
+        return min(1 << (c.bit_length() - 1), 4096)
+
+
+def render_ir_eval(params, aux, grid, cam: CameraParams, cfg: EvalConfig,
+                  env_override=None, env_transform=None, key=None):
+    """Render one eval view with all AOVs. Returns dict of [H, W, C] images."""
+    bg = jnp.full((3,), 1.0 if cfg.white_background else 0.0, jnp.float32)
+    w, h = cfg.img_w, cfg.img_h
+    features = jnp.concatenate([params.get_base_color(), params.get_roughness()],
+                               axis=-1)
+    raster = sr.rasterize(
+        params.xyz, params.get_scaling(), params.rotation,
+        params.get_opacity()[:, 0], params.get_features(), features,
+        jnp.zeros((params.n_capacity, 2)), cam, jnp.zeros(3),
+        img_w=w, img_h=h, active_sh_degree=cfg.active_sh_degree,
+        dup_capacity=cfg.dup_capacity, alive=aux.alive)
+    maps = ir.derive_geometry_maps(raster, cam, w, h)
+    alpha = maps["alpha"]
+
+    env_raw = params.env if env_override is None else env_override
+    pdf = envlight.build_pdf(env_raw)
+    shade_cfg = ir.ShadeConfig(
+        diffuse_sample_num=cfg.diffuse_sample_num,
+        light_sample_num=cfg.light_sample_num, light_t_min=cfg.light_t_min,
+        wo_indirect=cfg.wo_indirect, training=False)
+    trace_fn = ir.make_trace_fn(params, aux, grid, cfg.tracer, cam.cam_pos,
+                                cfg.active_sh_degree)
+
+    flat = lambda x: x.reshape(-1, x.shape[-1])
+    px = dict(
+        base=flat(raster.feature[..., :3]),
+        rough=flat(raster.feature[..., 3:4]),
+        normal=flat(maps["normal_map"]),
+        points=flat(maps["points"]),
+        wo=-flat(maps["rays_d"]),
+    )
+    n_px = w * h
+    pc = cfg.pixel_chunk
+    pad = (-n_px) % pc
+    px = {k: jnp.pad(v, ((0, pad), (0, 0))) for k, v in px.items()}
+    px = {k: v.reshape(-1, pc, v.shape[-1]) for k, v in px.items()}
+
+    def shade_chunk(c):
+        return ir.rendering_equation(
+            c["base"], c["rough"], c["normal"], c["points"], c["wo"],
+            env_raw, pdf, trace_fn, shade_cfg, key=None,
+            env_transform=env_transform)
+
+    re = jax.lax.map(shade_chunk, px)
+    re = {k: v.reshape((-1,) + v.shape[2:])[:n_px].reshape(h, w, -1)
+          for k, v in re.items()}
+
+    rendered_full = rgb_to_srgb(re["diffuse"] + re["specular"])
+    final = rendered_full * alpha + bg[None, None] * (1 - alpha)
+    env_dirs = maps["rays_d"]
+    direct = rgb_to_srgb(envlight.query_env(env_raw, env_dirs,
+                                            transform=env_transform))
+    out = {
+        "render": final,
+        "render_env": rendered_full * alpha + direct * (1 - alpha),
+        "render_sh": rgb_to_srgb(raster.color) + bg[None, None] * (1 - alpha),
+        "diffuse": rgb_to_srgb(re["diffuse"]),
+        "specular": rgb_to_srgb(re["specular"]),
+        "env_only": direct,
+        "base_color": rgb_to_srgb(raster.feature[..., :3]) * alpha,
+        "base_color_linear": raster.feature[..., :3] * alpha,
+        "roughness": raster.feature[..., 3:4] * alpha,
+        "rend_alpha": alpha,
+        "rend_normal": maps["rend_normal"],
+        "surf_normal": maps["surf_normal"],
+        "surf_depth": maps["surf_depth"][..., None],
+        "rend_dist": raster.distortion[..., None],
+        "visibility": re["visibility"] * alpha,
+        "light": rgb_to_srgb(re["light"] * alpha),
+        "light_indirect": rgb_to_srgb(re["light_indirect"] * alpha),
+        "light_direct": rgb_to_srgb(re["light_direct"] * alpha),
+    }
+    return out

@@ -1,0 +1,305 @@
+"""Cubemap utilities + split-sum IBL prefiltering, pure JAX.
+
+Replaces three reference native pieces:
+* nvdiffrast `dr.texture(..., boundary_mode='cube')` bilinear cubemap fetch
+  with mip-level blending (scene/light.py:105-124,307-324),
+* `renderutils` diffuse/GGX-specular cubemap convolutions
+  (scene/renderutils/c_src/cubemap.cu, ops.py:404-460),
+* `latlong_to_cubemap` / `cubemap_to_latlong` / `cubemap_mip`
+  (scene/light_utils.py:34-81).
+
+Convention: faces ordered +x, -x, +y, -y, +z, -z (OpenGL / nvdiffrast), each
+face [res, res, C], uv in [-1, 1] with the usual cube-face axes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.math3d import safe_normalize
+
+
+def _face_dirs(res: int):
+    """[6, res, res, 3] unit direction for every texel center."""
+    g = (jnp.arange(res, dtype=jnp.float32) + 0.5) / res * 2.0 - 1.0
+    v, u = jnp.meshgrid(g, g, indexing="ij")
+    one = jnp.ones_like(u)
+    faces = [
+        jnp.stack([one, -v, -u], -1),    # +x
+        jnp.stack([-one, -v, u], -1),    # -x
+        jnp.stack([u, one, v], -1),      # +y
+        jnp.stack([u, -one, -v], -1),    # -y
+        jnp.stack([u, -v, one], -1),     # +z
+        jnp.stack([-u, -v, -one], -1),   # -z
+    ]
+    return safe_normalize(jnp.stack(faces))
+
+
+def dir_to_cube_uv(d):
+    """[..., 3] dirs -> (face [..., int32], u, v in [0, 1])."""
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    # face selection
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (ay > ax) & (ay >= az)
+    face = jnp.where(is_x, jnp.where(x > 0, 0, 1),
+                     jnp.where(is_y, jnp.where(y > 0, 2, 3),
+                               jnp.where(z > 0, 4, 5)))
+    ma = jnp.where(is_x, ax, jnp.where(is_y, ay, az))
+    ma = jnp.maximum(ma, 1e-12)
+    # per-face (u, v): inverse of _face_dirs
+    u = jnp.where(is_x, jnp.where(x > 0, -z, z),
+                  jnp.where(is_y, x, jnp.where(z > 0, x, -x)))
+    v = jnp.where(is_x, -y, jnp.where(is_y, jnp.where(y > 0, z, -z), -y))
+    return face, (u / ma + 1) / 2, (v / ma + 1) / 2
+
+
+def sample_cubemap(cube, dirs):
+    """Bilinear fetch from [6, R, R, C] (clamped at face edges).
+
+    nvdiffrast's 'cube' boundary blends across face seams; clamping differs
+    only in the outermost half-texel — validated against analytic envmaps in
+    tests (SURVEY §7 hard-part 5)."""
+    res = cube.shape[1]
+    face, u, v = dir_to_cube_uv(dirs)
+    x = u * res - 0.5
+    y = v * res - 0.5
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, res - 1)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, res - 1)
+    x1 = jnp.clip(x0 + 1, 0, res - 1)
+    y1 = jnp.clip(y0 + 1, 0, res - 1)
+    fx = jnp.clip(x - x0, 0.0, 1.0)[..., None]
+    fy = jnp.clip(y - y0, 0.0, 1.0)[..., None]
+    c00 = cube[face, y0, x0]
+    c01 = cube[face, y0, x1]
+    c10 = cube[face, y1, x0]
+    c11 = cube[face, y1, x1]
+    return (c00 * (1 - fx) + c01 * fx) * (1 - fy) + (c10 * (1 - fx) + c11 * fx) * fy
+
+
+def sample_cubemap_mip(mips: list, dirs, mip_level):
+    """Trilinear: blend two bilinear fetches by fractional mip level
+    (≙ dr.texture 'linear-mipmap-linear')."""
+    n = len(mips)
+    lvl = jnp.clip(mip_level, 0.0, n - 1.0)
+    l0 = jnp.clip(jnp.floor(lvl).astype(jnp.int32), 0, n - 1)
+    frac = (lvl - l0.astype(lvl.dtype))[..., None]
+    flat0 = jnp.zeros(dirs.shape[:-1] + (mips[0].shape[-1],))
+    flat1 = jnp.zeros_like(flat0)
+    for i in range(n):
+        s = sample_cubemap(mips[i], dirs)
+        flat0 = jnp.where((l0 == i)[..., None], s, flat0)
+        flat1 = jnp.where((jnp.clip(l0 + 1, 0, n - 1) == i)[..., None], s, flat1)
+    return flat0 * (1 - frac) + flat1 * frac
+
+
+def latlong_to_cubemap(latlong, res: int):
+    """[H, W, C] equirect -> [6, res, res, C] (≙ light_utils.py:34-49)."""
+    from .envlight import bilinear_latlong, dirs_to_uv
+    dirs = _face_dirs(res)
+    u, v = dirs_to_uv(dirs)
+    return bilinear_latlong(latlong, u, v)
+
+
+def cubemap_to_latlong(cube, h: int, w: int):
+    """[6, R, R, C] -> [h, w, C] equirect (≙ light_utils.py:52-66)."""
+    from .envlight import env_image_dirs
+    return sample_cubemap(cube, env_image_dirs(h, w))
+
+
+def cubemap_mip(cube):
+    """2x2 box downsample per face (≙ cubemap_mip autograd fn,
+    light_utils.py:69-81 — the reference also uses avg_pool)."""
+    c = cube
+    return 0.25 * (c[:, 0::2, 0::2] + c[:, 0::2, 1::2]
+                   + c[:, 1::2, 0::2] + c[:, 1::2, 1::2])
+
+
+# ---------------------------------------------------------------------------
+# split-sum prefiltering (renderutils equivalents)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("res",))
+def diffuse_cubemap(cube, res: int | None = None):
+    """Cosine-hemisphere convolution (≙ ru.diffuse_cubemap, cubemap.cu).
+
+    Dense formulation: out(n) = Σ_texels max(n·d, 0)·w·L / Σ max(n·d, 0)·w
+    over the *source* cubemap texels with solid-angle weights — exact, and a
+    big dense matmul, which is exactly what the MXU wants.
+    """
+    src_res = cube.shape[1]
+    out_res = res or src_res
+    dirs_src = _face_dirs(src_res).reshape(-1, 3)
+    w_src = _texel_solid_angles(src_res).reshape(-1)
+    dirs_out = _face_dirs(out_res).reshape(-1, 3)
+
+    cos = jnp.maximum(dirs_out @ dirs_src.T, 0.0) * w_src[None]
+    denom = jnp.sum(cos, axis=-1, keepdims=True)
+    out = (cos @ cube.reshape(-1, cube.shape[-1])) / jnp.maximum(denom, 1e-12)
+    return out.reshape(6, out_res, out_res, cube.shape[-1])
+
+
+def _texel_solid_angles(res: int):
+    """[6, res, res] solid angle of each cubemap texel."""
+    g = (jnp.arange(res, dtype=jnp.float32) + 0.5) / res * 2.0 - 1.0
+    v, u = jnp.meshgrid(g, g, indexing="ij")
+    r2 = 1.0 + u * u + v * v
+    w = 4.0 / (res * res) / (r2 * jnp.sqrt(r2))
+    return jnp.broadcast_to(w, (6, res, res))
+
+
+def _hammersley(n: int):
+    i = jnp.arange(n, dtype=jnp.float32)
+    bits = i.astype(jnp.uint32)
+    bits = ((bits << 16) | (bits >> 16))
+    bits = ((bits & 0x55555555) << 1) | ((bits & 0xAAAAAAAA) >> 1)
+    bits = ((bits & 0x33333333) << 2) | ((bits & 0xCCCCCCCC) >> 2)
+    bits = ((bits & 0x0F0F0F0F) << 4) | ((bits & 0xF0F0F0F0) >> 4)
+    bits = ((bits & 0x00FF00FF) << 8) | ((bits & 0xFF00FF00) >> 8)
+    return i / n, bits.astype(jnp.float32) * 2.3283064365386963e-10
+
+
+@functools.partial(jax.jit, static_argnames=("samples",))
+def specular_cubemap(cube, roughness: float, cutoff: float = 0.99,
+                     samples: int = 128):
+    """GGX-NDF prefilter (≙ ru.specular_cubemap, cubemap.cu + ops.py:428-460).
+
+    The reference convolves densely inside a cutoff solid-angle bound; a dense
+    [6R², 6R²] weight matrix is infeasible on TPU HBM at R=128, so this uses
+    the standard split-sum importance-sampled estimator instead (Hammersley
+    GGX half-vector samples around n=v=r, NdotL-weighted) — differentiable
+    through the cubemap gathers so the trainable stage-1 envmap still learns
+    through its mips.
+    """
+    res = cube.shape[1]
+    dirs = _face_dirs(res).reshape(-1, 3)                  # n = v = r
+    alpha = max(roughness * roughness, 1e-4)
+
+    xi1, xi2 = _hammersley(samples)
+    phi = 2.0 * jnp.pi * xi1
+    ct = jnp.sqrt((1.0 - xi2) / (1.0 + (alpha * alpha - 1.0) * xi2))
+    st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+    h_local = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], -1)  # [S,3]
+
+    # tangent frame per output dir
+    up = jnp.where(jnp.abs(dirs[:, 2:3]) < 0.999,
+                   jnp.array([[0.0, 0.0, 1.0]]), jnp.array([[1.0, 0.0, 0.0]]))
+    t = safe_normalize(jnp.cross(up, dirs))
+    b = jnp.cross(dirs, t)
+
+    def chunk_filter(args):
+        n, t_, b_ = args
+        h = (h_local[None, :, 0:1] * t_[:, None] + h_local[None, :, 1:2] * b_[:, None]
+             + h_local[None, :, 2:3] * n[:, None])        # [C, S, 3]
+        l = 2.0 * jnp.sum(n[:, None] * h, -1, keepdims=True) * h - n[:, None]
+        nl = jnp.maximum(jnp.sum(n[:, None] * l, -1), 0.0)
+        vals = sample_cubemap(cube, l)                     # [C, S, 3]
+        num = jnp.sum(vals * nl[..., None], axis=1)
+        den = jnp.maximum(jnp.sum(nl, axis=1), 1e-6)[..., None]
+        return num / den
+
+    cpix = 4096
+    npix = dirs.shape[0]
+    pad = (-npix) % cpix
+    args = tuple(jnp.pad(x, ((0, pad), (0, 0))) for x in (dirs, t, b))
+    args = tuple(x.reshape(-1, cpix, 3) for x in args)
+    out = jax.lax.map(chunk_filter, args)
+    out = out.reshape(-1, cube.shape[-1])[:npix]
+    return out.reshape(6, res, res, cube.shape[-1])
+
+
+def build_specular_mips(base_cube, min_res: int = 16,
+                        min_roughness: float = 0.08, max_roughness: float = 0.5,
+                        cutoff: float = 0.99):
+    """≙ EnvLight/EnvLightMip.build_mips (light.py:64-78,264-280):
+    mip chain by 2x2 box, each level GGX-filtered at its mapped roughness,
+    plus a diffuse (cosine) map from the smallest level."""
+    chain = [base_cube]
+    while chain[-1].shape[1] > min_res:
+        chain.append(cubemap_mip(chain[-1]))
+    diffuse = diffuse_cubemap(chain[-1])
+    n = len(chain)
+    specular = []
+    for i, c in enumerate(chain[:-1]):
+        rough = (i / max(n - 2, 1)) * (max_roughness - min_roughness) + min_roughness
+        specular.append(specular_cubemap(c, rough, cutoff))
+    specular.append(specular_cubemap(chain[-1], 1.0, cutoff))
+    return specular, diffuse
+
+
+def roughness_to_mip(roughness, n_mips: int, min_roughness: float = 0.08,
+                     max_roughness: float = 0.5):
+    """≙ EnvLight.get_mip (light.py:282-290)."""
+    return jnp.where(
+        roughness < max_roughness,
+        (jnp.clip(roughness, min_roughness, max_roughness) - min_roughness)
+        / (max_roughness - min_roughness) * (n_mips - 2),
+        (jnp.clip(roughness, max_roughness, 1.0) - max_roughness)
+        / (1.0 - max_roughness) + n_mips - 2)
+
+
+# ---------------------------------------------------------------------------
+# environment-BRDF (FG) lookup table — replaces assets/bsdf_256_256.bin
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("res", "samples"))
+def compute_fg_lut(res: int = 256, samples: int = 1024):
+    """Split-sum environment BRDF integral (scale, bias) over
+    (NdotV, roughness) — the standard Karis integration, computed here
+    instead of shipping the reference's binary blob. [res, res, 2]."""
+    nv = (jnp.arange(res, dtype=jnp.float32) + 0.5) / res
+    rough = (jnp.arange(res, dtype=jnp.float32) + 0.5) / res
+
+    i = jnp.arange(samples, dtype=jnp.float32)
+    # Hammersley
+    bits = i.astype(jnp.uint32)
+    bits = ((bits << 16) | (bits >> 16))
+    bits = ((bits & 0x55555555) << 1) | ((bits & 0xAAAAAAAA) >> 1)
+    bits = ((bits & 0x33333333) << 2) | ((bits & 0xCCCCCCCC) >> 2)
+    bits = ((bits & 0x0F0F0F0F) << 4) | ((bits & 0xF0F0F0F0) >> 4)
+    bits = ((bits & 0x00FF00FF) << 8) | ((bits & 0xFF00FF00) >> 8)
+    xi2 = bits.astype(jnp.float32) * 2.3283064365386963e-10
+    xi1 = i / samples
+
+    def one(nv_i, r_j):
+        a = jnp.maximum(r_j * r_j, 1e-4)
+        v = jnp.array([jnp.sqrt(1 - nv_i ** 2), 0.0, nv_i])
+        phi = 2 * jnp.pi * xi1
+        ct = jnp.sqrt((1 - xi2) / (1 + (a * a - 1) * xi2))
+        st = jnp.sqrt(jnp.maximum(1 - ct * ct, 0.0))
+        h = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], -1)
+        l = 2 * jnp.sum(v * h, -1, keepdims=True) * h - v
+        nl = jnp.maximum(l[:, 2], 0.0)
+        nh = jnp.maximum(h[:, 2], 0.0)
+        vh = jnp.maximum(jnp.sum(v * h, -1), 0.0)
+        k = a * a / 2.0
+        g = (nl / jnp.maximum(nl * (1 - k) + k, 1e-6)) * \
+            (nv_i / jnp.maximum(nv_i * (1 - k) + k, 1e-6))
+        g_vis = jnp.where(nl > 0, g * vh / jnp.maximum(nh * nv_i, 1e-6), 0.0)
+        fc = jnp.power(1 - vh, 5.0)
+        return jnp.stack([jnp.mean((1 - fc) * g_vis), jnp.mean(fc * g_vis)])
+
+    return jax.vmap(lambda r: jax.vmap(lambda n: one(n, r))(nv))(rough)
+
+
+def sample_fg_lut(lut, ndotv, roughness):
+    """Bilinear LUT fetch: uv = (NdotV, roughness) clamped to [0,1]
+    (≙ dr.texture on pc.FG_LUT, __init__.py:375)."""
+    res = lut.shape[0]
+    u = jnp.clip(ndotv[..., 0], 0.0, 1.0) * res - 0.5
+    v = jnp.clip(roughness[..., 0], 0.0, 1.0) * res - 0.5
+    x0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, res - 1)
+    y0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, res - 1)
+    x1 = jnp.clip(x0 + 1, 0, res - 1)
+    y1 = jnp.clip(y0 + 1, 0, res - 1)
+    fu = jnp.clip(u - x0, 0, 1)[..., None]
+    fv = jnp.clip(v - y0, 0, 1)[..., None]
+    # lut indexed [rough, ndotv, 2]
+    c00 = lut[y0, x0]
+    c01 = lut[y0, x1]
+    c10 = lut[y1, x0]
+    c11 = lut[y1, x1]
+    return (c00 * (1 - fu) + c01 * fu) * (1 - fv) + (c10 * (1 - fu) + c11 * fu) * fv

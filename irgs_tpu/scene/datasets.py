@@ -1,0 +1,173 @@
+"""Dataset readers.
+
+≙ reference scene/dataset_readers.py (Blender/TensoIR :242-356,
+Synthetic4Relight :358-474, registry :575-580) and the path-sniffing logic of
+Scene.__init__ (scene/__init__.py:49-68). Host-side numpy/PIL/cv2 only —
+images stay in host RAM; jit-side state is built from the returned Cameras.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..utils.math3d import focal2fov, fov2focal, world_to_view
+from .cameras import Camera
+
+os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
+
+
+@dataclass
+class SceneInfo:
+    train_cameras: list
+    test_cameras: list
+    points: np.ndarray | None      # [N, 3] init point cloud
+    colors: np.ndarray | None      # [N, 3]
+    translate: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    radius: float = 1.0            # cameras_extent
+    light_rotate: bool = False
+    ply_path: str = ""
+
+
+def _nerfpp_norm(cams: list[Camera]):
+    """≙ getNerfppNorm (dataset_readers.py:53-75)."""
+    centers = np.stack([c.cam_pos for c in cams])
+    center = centers.mean(axis=0)
+    diagonal = np.max(np.linalg.norm(centers - center, axis=-1))
+    return -center, float(diagonal * 1.1)
+
+
+def _load_image_any(path: str):
+    """RGB(A) image -> float [H, W, C]; EXR/HDR via cv2, LDR via PIL."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".exr", ".hdr"):
+        import cv2
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if img.ndim == 3 and img.shape[-1] >= 3:
+            img[..., :3] = img[..., 2::-1]  # BGR -> RGB
+        return np.asarray(img, np.float32)
+    from PIL import Image
+    return np.asarray(Image.open(path), np.float32) / 255.0
+
+
+def _blender_frame_to_camera(frame, path, fovx, white_background, extension,
+                             uid, srgb_linear=False):
+    file_path = frame["file_path"]
+    if ".png" not in file_path:
+        file_path = file_path + extension
+    cam_name = os.path.join(path, file_path)
+    c2w = np.array(frame["transform_matrix"], dtype=np.float64)
+    # OpenGL/Blender (Y up, Z back) -> COLMAP (Y down, Z forward)
+    c2w[:3, 1:3] *= -1
+    w2c = np.linalg.inv(c2w)
+    R = w2c[:3, :3].T
+    T = w2c[:3, 3]
+
+    subdir = os.environ.get("DATA_SUBDIR", "")
+    image_path = os.path.join(path, os.path.dirname(file_path), subdir,
+                              os.path.basename(cam_name))
+    if not os.path.exists(image_path):
+        image_path = cam_name
+    im = _load_image_any(image_path)
+
+    bg = np.ones(3) if white_background else np.zeros(3)
+    mask = None
+    if im.ndim == 3 and im.shape[-1] == 4:
+        mask = im[:, :, 3] > 0.5
+        im = im[:, :, :3] * im[:, :, 3:4] + bg * (1 - im[:, :, 3:4])
+    else:
+        im = im[..., :3]
+
+    h, w = im.shape[:2]
+    fovy = focal2fov(fov2focal(fovx, w), h)
+    name = os.path.splitext(os.path.basename(file_path))[0]
+    return Camera(uid, R, T, fovx=fovx, fovy=fovy, image=im, mask=mask,
+                  image_name=name, image_path=image_path)
+
+
+def read_transforms_cameras(path, transformsfile, white_background,
+                            extension=".png"):
+    """≙ readCamerasFromTransforms (dataset_readers.py:242-309)."""
+    with open(os.path.join(path, transformsfile)) as f:
+        contents = json.load(f)
+    fovx = contents.get("camera_angle_x")
+    if fovx is None:
+        fovx = 2 * math.atan(contents["w"] / (2 * contents["fl_x"]))
+    return [
+        _blender_frame_to_camera(fr, path, fovx, white_background, extension, i)
+        for i, fr in enumerate(contents["frames"])
+    ]
+
+
+def read_blender_scene(path, white_background, eval_split, extension=".png",
+                       num_init_points: int = 100_000, seed: int = 0) -> SceneInfo:
+    """≙ readNerfSyntheticInfo (dataset_readers.py:311-356)."""
+    train = read_transforms_cameras(path, "transforms_train.json",
+                                    white_background, extension)
+    test = (read_transforms_cameras(path, "transforms_test.json",
+                                    white_background, extension)
+            if eval_split else [])
+    translate, radius = _nerfpp_norm(train)
+
+    ply_path = os.path.join(path, "points3d.ply")
+    if os.path.exists(ply_path):
+        from ..utils.ply import read_ply
+        v = read_ply(ply_path)["vertex"].data
+        points = np.stack([v["x"], v["y"], v["z"]], axis=1).astype(np.float32)
+        if "red" in (v.dtype.names or ()):
+            colors = np.stack([v["red"], v["green"], v["blue"]], 1).astype(np.float32) / 255.0
+        else:
+            colors = np.full_like(points, 0.5)
+    else:
+        rng = np.random.RandomState(seed)
+        points = (rng.random((num_init_points, 3)) * 2.6 - 1.3).astype(np.float32)
+        colors = np.full_like(points, 0.5)
+    return SceneInfo(train, test, points, colors, translate, radius,
+                     light_rotate=False, ply_path=ply_path)
+
+
+def read_synthetic4relight_scene(path, white_background, eval_split) -> SceneInfo:
+    """≙ readSynthetic4RelightInfo (dataset_readers.py:440-474): HDR EXR
+    training frames (`*_rgb.exr`), PNG test frames."""
+    train = read_transforms_cameras(path, "transforms_train.json",
+                                    white_background, "_rgb.exr")
+    test = (read_transforms_cameras(path, "transforms_test.json",
+                                    white_background, "_rgba.png")
+            if eval_split else [])
+    translate, radius = _nerfpp_norm(train)
+    ply_path = os.path.join(path, "points3d.ply")
+    points = colors = None
+    if os.path.exists(ply_path):
+        from ..utils.ply import read_ply
+        v = read_ply(ply_path)["vertex"].data
+        points = np.stack([v["x"], v["y"], v["z"]], axis=1).astype(np.float32)
+        colors = np.full_like(points, 0.5)
+    return SceneInfo(train, test, points, colors, translate, radius,
+                     light_rotate=True, ply_path=ply_path)
+
+
+def load_scene(source_path: str, white_background: bool = False,
+               eval_split: bool = True) -> SceneInfo:
+    """Path-sniffing dispatch (≙ Scene.__init__, scene/__init__.py:49-68)."""
+    if os.path.exists(os.path.join(source_path, "transforms_train.json")):
+        if "Synthetic4Relight" in source_path:
+            return read_synthetic4relight_scene(source_path, white_background,
+                                                eval_split)
+        info = read_blender_scene(source_path, white_background, eval_split)
+        if "TensoIR" in source_path:
+            info.light_rotate = True
+        return info
+    if os.path.exists(os.path.join(source_path, "sparse")):
+        raise NotImplementedError(
+            "COLMAP scenes not wired up yet (planned; see SURVEY §2.2)")
+    raise ValueError(f"Could not recognize scene type at {source_path}")
+
+
+# Envmap world-rotation applied for Synthetic4Relight/TensoIR
+# (≙ train.py:75-81)
+LIGHT_ROTATE_TRANSFORM = np.array(
+    [[0, -1, 0], [0, 0, 1], [-1, 0, 0]], dtype=np.float32)

@@ -1,0 +1,227 @@
+"""Stage-2 trainer: material + environment-light decomposition.
+
+≙ reference train.py:37-197 + calculate_loss2 (utils/loss_utils.py:159-282):
+restore stage-1 geometry, freeze it (lr_scale=0 zeroes geometry lrs,
+train.py:41-45; densification deliberately disabled, train.py:134-144),
+optimize per-Gaussian base_color/roughness + the lat-long envmap by
+Monte-Carlo integration of the rendering equation over a fixed ray budget
+(train_ray path), rebuilding the tracer grid each iteration when geometry
+moves.
+
+TPU re-design: the whole iteration (rasterize → pixel subset → MC shade →
+losses → grads → optax update) is ONE jitted pure function over static
+shapes; the camera is data, not control flow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops import grid_tracer as gt
+from ..ops import surfel_raster as sr
+from ..render import ir
+from ..scene import envlight
+from ..scene.cameras import CameraParams
+from ..scene.gaussians import GaussianAux, GaussianParams
+from ..utils.math3d import rgb_to_srgb
+from . import losses as L
+from .optim import make_gaussian_optimizer
+
+
+class TrainState(NamedTuple):
+    params: GaussianParams
+    aux: GaussianAux
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class Stage2Static:
+    """Static (compile-time) configuration of one training step."""
+    img_w: int
+    img_h: int
+    active_sh_degree: int
+    diffuse_sample_num: int
+    light_sample_num: int
+    trace_num_rays: int
+    light_t_min: float
+    wo_indirect: bool
+    detach_indirect: bool
+    white_background: bool
+    dup_capacity: int
+    tracer: gt.TracerConfig
+    # loss lambdas (static floats so zero terms compile away)
+    lambda_dssim: float = 0.2
+    lambda_dist: float = 0.0
+    lambda_normal_render_depth: float = 0.05
+    lambda_normal_smooth: float = 0.01
+    lambda_depth_smooth: float = 0.0
+    lambda_mask_entropy: float = 0.01
+    lambda_base_color_smooth: float = 0.0
+    lambda_roughness_smooth: float = 0.0
+    lambda_light: float = 0.0
+    lambda_light_smooth: float = 0.0
+    normal_loss_start: int = 1000
+    dist_loss_start: int = 1000
+
+    @property
+    def num_shaded_pixels(self) -> int:
+        return self.trace_num_rays // (self.diffuse_sample_num + self.light_sample_num)
+
+
+def from_configs(cfg, img_w: int, img_h: int, active_sh_degree: int = 3) -> Stage2Static:
+    p, o, m = cfg.pipe, cfg.opt, cfg.model
+    return Stage2Static(
+        img_w=img_w, img_h=img_h, active_sh_degree=active_sh_degree,
+        diffuse_sample_num=p.diffuse_sample_num, light_sample_num=p.light_sample_num,
+        trace_num_rays=o.trace_num_rays, light_t_min=p.light_t_min,
+        wo_indirect=p.wo_indirect, detach_indirect=p.detach_indirect,
+        white_background=m.white_background, dup_capacity=2 ** 21,
+        tracer=gt.TracerConfig(
+            grid_res=p.tracer_grid_res, cell_eval_cap=p.tracer_cell_capacity,
+            max_steps=p.tracer_max_steps, transmittance_min=p.transmittance_min,
+            alpha_min=p.alpha_min),
+        lambda_dssim=o.lambda_dssim, lambda_dist=o.lambda_dist,
+        lambda_normal_render_depth=o.lambda_normal_render_depth,
+        lambda_normal_smooth=o.lambda_normal_smooth,
+        lambda_depth_smooth=o.lambda_depth_smooth,
+        lambda_mask_entropy=o.lambda_mask_entropy,
+        lambda_base_color_smooth=o.lambda_base_color_smooth,
+        lambda_roughness_smooth=o.lambda_roughness_smooth,
+        lambda_light=o.lambda_light, lambda_light_smooth=o.lambda_light_smooth,
+        normal_loss_start=o.normal_loss_start, dist_loss_start=o.dist_loss_start,
+    )
+
+
+def stage2_forward_loss(params: GaussianParams, aux: GaussianAux, grid: gt.Grid,
+                        cam: CameraParams, gt_image, cam_mask, key,
+                        iteration, st: Stage2Static):
+    """One full forward pass + calculate_loss2. Returns (loss, metrics)."""
+    bg = jnp.full((3,), 1.0 if st.white_background else 0.0, jnp.float32)
+    features = jnp.concatenate([params.get_base_color(), params.get_roughness()],
+                               axis=-1)                            # [N, 4]
+    raster = sr.rasterize(
+        params.xyz, params.get_scaling(), params.rotation,
+        params.get_opacity()[:, 0], params.get_features(), features,
+        jnp.zeros((params.n_capacity, 2)), cam, jnp.zeros(3),
+        img_w=st.img_w, img_h=st.img_h, active_sh_degree=st.active_sh_degree,
+        dup_capacity=st.dup_capacity, alive=aux.alive)
+
+    maps = ir.derive_geometry_maps(raster, cam, st.img_w, st.img_h)
+    alpha = maps["alpha"]                                           # [H, W, 1]
+    base_color_img = raster.feature[..., :3]
+    rough_img = raster.feature[..., 3:4]
+
+    # --- pixel subset for MC shading (train_ray, __init__.py:194-212) -----
+    eligible = (alpha[..., 0] > 0.9)
+    if cam_mask is not None:
+        eligible = eligible & cam_mask
+    k_sel, k_shade = jax.random.split(key)
+    idx, ray_valid = ir.select_train_pixels(k_sel, eligible, st.num_shaded_pixels)
+
+    flat = lambda x: x.reshape(-1, x.shape[-1])
+    px_base = flat(base_color_img)[idx]
+    px_rough = flat(rough_img)[idx]
+    px_normal = flat(maps["normal_map"])[idx]
+    px_points = flat(maps["points"])[idx]
+    px_wo = -flat(maps["rays_d"])[idx]
+    px_alpha = flat(alpha)[idx]
+
+    shade_cfg = ir.ShadeConfig(
+        diffuse_sample_num=st.diffuse_sample_num,
+        light_sample_num=st.light_sample_num, light_t_min=st.light_t_min,
+        wo_indirect=st.wo_indirect, detach_indirect=st.detach_indirect,
+        training=True)
+    trace_fn = ir.make_trace_fn(params, aux, grid, st.tracer, cam.cam_pos,
+                                st.active_sh_degree)
+    pdf = envlight.build_pdf(jax.lax.stop_gradient(params.env))
+    re = ir.rendering_equation(px_base, px_rough, px_normal, px_points, px_wo,
+                               params.env, pdf, trace_fn, shade_cfg, key=k_shade)
+
+    full = rgb_to_srgb(re["diffuse"] + re["specular"])
+    ray_rgb = full * px_alpha + bg[None] * (1 - px_alpha)
+    gt_flat = flat(gt_image)[idx]
+
+    vw = ray_valid.astype(jnp.float32)[:, None]
+    denom = jnp.maximum(jnp.sum(vw) * 3, 1.0)
+
+    # --- calculate_loss2 (loss_utils.py:159-282) ---------------------------
+    l_l1 = jnp.sum(jnp.abs(ray_rgb - gt_flat) * vw) / denom
+    loss = l_l1
+
+    render_sh = rgb_to_srgb(raster.color) + bg[None, None] * (1 - alpha)
+    sh_mask = (alpha > 0.9).astype(jnp.float32)
+    masked_render = render_sh * sh_mask
+    masked_gt = gt_image * sh_mask
+    l_sh = ((1 - st.lambda_dssim) * L.l1_loss(masked_render, masked_gt)
+            + st.lambda_dssim * (1 - L.ssim(masked_render, masked_gt)))
+    loss = loss + l_sh
+
+    metrics = {"loss_l1": l_l1, "loss_sh": l_sh,
+               "ray_psnr": L.psnr(ray_rgb * vw, gt_flat * vw)}
+
+    if st.lambda_normal_render_depth > 0:
+        l_normal = L.normal_consistency_loss(maps["rend_normal"], maps["surf_normal"])
+        on = (iteration > st.normal_loss_start).astype(jnp.float32)
+        loss = loss + st.lambda_normal_render_depth * l_normal * on
+        metrics["loss_normal"] = l_normal
+    if st.lambda_dist > 0:
+        on = (iteration > st.dist_loss_start).astype(jnp.float32)
+        loss = loss + st.lambda_dist * raster.distortion.mean() * on
+    if st.lambda_depth_smooth > 0:
+        on = (iteration > 3000).astype(jnp.float32)
+        loss = loss + st.lambda_depth_smooth * L.first_order_edge_aware_loss(
+            maps["surf_depth"][..., None], gt_image) * on
+    if cam_mask is not None and st.lambda_mask_entropy > 0:
+        loss = loss + st.lambda_mask_entropy * L.mask_entropy_loss(
+            alpha[..., 0], cam_mask)
+    if st.lambda_base_color_smooth > 0:
+        img = base_color_img * alpha
+        if cam_mask is not None:
+            img = img * cam_mask[..., None]
+        loss = loss + st.lambda_base_color_smooth * L.first_order_edge_aware_loss(img, gt_image)
+    if st.lambda_roughness_smooth > 0:
+        img = rough_img * alpha
+        if cam_mask is not None:
+            img = img * cam_mask[..., None]
+        loss = loss + st.lambda_roughness_smooth * L.first_order_edge_aware_loss(img, gt_image)
+    if st.lambda_normal_smooth > 0:
+        img = maps["rend_normal"]
+        if cam_mask is not None:
+            img = img * cam_mask[..., None]
+        loss = loss + st.lambda_normal_smooth * L.first_order_edge_aware_loss(img, gt_image)
+    if st.lambda_light > 0:
+        ld = re["light_direct"]
+        mean_light = jnp.broadcast_to(ld.mean(-1, keepdims=True), ld.shape)
+        loss = loss + st.lambda_light * jnp.sum(jnp.abs(ld - mean_light) * vw) / denom
+    if st.lambda_light_smooth > 0:
+        env_img = rgb_to_srgb(envlight.query_env(params.env, maps["rays_d"]))
+        loss = loss + st.lambda_light_smooth * L.tv_loss(env_img)
+
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("st", "optimizer"), donate_argnums=(0,))
+def stage2_step(state: TrainState, grid: gt.Grid, cam: CameraParams,
+                gt_image, cam_mask, key, *, st: Stage2Static, optimizer):
+    def loss_fn(params):
+        return stage2_forward_loss(params, state.aux, grid, cam, gt_image,
+                                   cam_mask, key, state.step, st)
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, state.aux, opt_state, state.step + 1), metrics
+
+
+def init_state(params: GaussianParams, aux: GaussianAux, opt_cfg,
+               spatial_lr_scale: float = 1.0):
+    optimizer = make_gaussian_optimizer(opt_cfg, spatial_lr_scale, stage2=True)
+    return TrainState(params, aux, optimizer.init(params), jnp.int32(0)), optimizer

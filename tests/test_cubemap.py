@@ -1,0 +1,64 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from irgs_tpu.scene import cubemap as cm
+from irgs_tpu.utils.math3d import safe_normalize
+
+
+def test_cube_uv_roundtrip_texel_centers():
+    res = 16
+    dirs = cm._face_dirs(res)
+    cube = jax.random.normal(jax.random.PRNGKey(0), (6, res, res, 3))
+    out = cm.sample_cubemap(cube, dirs)
+    np.testing.assert_allclose(out, cube, atol=1e-4)
+
+
+def test_sample_constant_cube():
+    cube = jnp.full((6, 8, 8, 3), 2.5)
+    dirs = safe_normalize(jax.random.normal(jax.random.PRNGKey(1), (100, 3)))
+    np.testing.assert_allclose(cm.sample_cubemap(cube, dirs), 2.5, atol=1e-5)
+
+
+def test_latlong_cubemap_roundtrip_smooth():
+    # smooth function of direction: y component
+    from irgs_tpu.scene.envlight import env_image_dirs
+    h, w = 32, 64
+    latlong = env_image_dirs(h, w) * 0.5 + 0.5          # [h, w, 3]
+    cube = cm.latlong_to_cubemap(latlong, 32)
+    back = cm.cubemap_to_latlong(cube, h, w)
+    err = np.abs(np.asarray(back) - np.asarray(latlong))
+    assert err.mean() < 0.01, err.mean()
+
+
+def test_diffuse_cubemap_energy():
+    cube = jnp.full((6, 16, 16, 3), 1.0)
+    out = cm.diffuse_cubemap(cube)
+    np.testing.assert_allclose(out, 1.0, atol=1e-4)
+
+
+def test_specular_cubemap_low_roughness_identity():
+    from irgs_tpu.scene.envlight import env_image_dirs
+    cube = cm.latlong_to_cubemap(env_image_dirs(32, 64) * 0.5 + 0.5, 32)
+    out = cm.specular_cubemap(cube, roughness=0.08, samples=64)
+    err = np.abs(np.asarray(out) - np.asarray(cube))
+    assert err.mean() < 0.03, err.mean()
+
+
+def test_fg_lut_properties():
+    lut = cm.compute_fg_lut(res=64, samples=256)
+    lut = np.asarray(lut)
+    assert np.isfinite(lut).all()
+    assert (lut >= -1e-4).all() and (lut <= 1.5).all()
+    # smooth mirror-like: scale ~1, bias ~0 at high NdotV / low roughness
+    scale = lut[1, -1, 0]   # row=roughness idx 1 (low), col=NdotV high
+    bias = lut[1, -1, 1]
+    assert scale > 0.85, scale
+    assert bias < 0.1, bias
+
+
+def test_build_specular_mips_shapes():
+    cube = jnp.zeros((6, 64, 64, 3))
+    spec, diff = cm.build_specular_mips(cube, min_res=16)
+    assert [s.shape[1] for s in spec] == [64, 32, 16]
+    assert diff.shape[1] == 16

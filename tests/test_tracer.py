@@ -1,0 +1,159 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from irgs_tpu.ops import grid_tracer as gt
+from irgs_tpu.utils import math3d
+
+CFG = gt.TracerConfig(grid_res=16, pair_capacity=2 ** 15, cell_eval_cap=32,
+                      max_steps=64, span_cap=8)
+
+
+def make_inputs(key, n=48, s=4, sh_coeffs=16):
+    ks = jax.random.split(key, 8)
+    means = jax.random.uniform(ks[0], (n, 3), minval=-1.0, maxval=1.0)
+    scales = jnp.exp(jax.random.uniform(ks[1], (n, 2), minval=-3.0, maxval=-1.8))
+    quats = math3d.quat_normalize(jax.random.normal(ks[2], (n, 4)))
+    R = math3d.quat_to_rotmat(quats)
+    opac = jax.nn.sigmoid(jax.random.normal(ks[3], (n,)) + 1.0)
+    inputs = gt.TraceInputs(
+        means3d=means,
+        opacity=opac,
+        ru=R[:, :, 0] / scales[:, 0:1],
+        rv=R[:, :, 1] / scales[:, 1:2],
+        normals=R[:, :, 2],
+        shs=jax.random.normal(ks[4], (n, sh_coeffs, 3)) * 0.3,
+        features=jax.random.uniform(ks[5], (n, s)),
+    )
+    scales_full = scales
+    return inputs, scales_full
+
+
+def make_rays(key, r=64):
+    k1, k2 = jax.random.split(key)
+    # origins on a sphere of radius 2.5 shooting inward with jitter
+    d = math3d.safe_normalize(jax.random.normal(k1, (r, 3)))
+    o = -2.5 * d
+    jitter = 0.3 * jax.random.normal(k2, (r, 3))
+    d = math3d.safe_normalize(d + 0.1 * jitter)
+    return o, d
+
+
+@pytest.fixture(scope="module")
+def setup():
+    inputs, scales = make_inputs(jax.random.PRNGKey(0))
+    alive = jnp.ones(inputs.means3d.shape[0], bool)
+    radius = gt.bounding_radius(inputs.opacity, scales, CFG.alpha_min)
+    grid = gt.build_grid(inputs.means3d, radius, alive,
+                         grid_res=CFG.grid_res, pair_capacity=CFG.pair_capacity,
+                         span_cap=CFG.span_cap)
+    rays_o, rays_d = make_rays(jax.random.PRNGKey(1))
+    return inputs, alive, grid, rays_o, rays_d
+
+
+def test_grid_build(setup):
+    inputs, alive, grid, *_ = setup
+    assert int(grid.overflow) == 0
+    assert int(jnp.sum(grid.cell_count)) > 0
+    # every alive gaussian's center cell contains it
+    g = CFG.grid_res
+    cc = jnp.clip(jnp.floor((inputs.means3d - grid.bb_min) * grid.inv_cell
+                            ).astype(jnp.int32), 0, g - 1)
+    cid = (cc[:, 2] * g + cc[:, 1]) * g + cc[:, 0]
+    for i in range(8):
+        start, cnt = int(grid.cell_start[cid[i]]), int(grid.cell_count[cid[i]])
+        members = np.asarray(grid.sorted_gauss[start:start + cnt])
+        assert i in members
+
+
+def test_forward_matches_brute_force(setup):
+    inputs, alive, grid, rays_o, rays_d = setup
+    out = gt.trace(rays_o, rays_d, grid, inputs, cfg=CFG, sh_deg=3)
+    ref = gt.trace_reference(rays_o, rays_d, inputs, alive, sh_deg=3,
+                             transmittance_min=CFG.transmittance_min)
+    assert float(ref.alpha.max()) > 0.5  # rays actually hit things
+    np.testing.assert_allclose(out.alpha, ref.alpha, atol=3e-5)
+    np.testing.assert_allclose(out.color, ref.color, atol=3e-5)
+    np.testing.assert_allclose(out.normal, ref.normal, atol=3e-5)
+    np.testing.assert_allclose(out.feature, ref.feature, atol=3e-5)
+    np.testing.assert_allclose(out.depth, ref.depth, atol=1e-4)
+
+
+def test_gradients_match_brute_force(setup):
+    inputs, alive, grid, rays_o, rays_d = setup
+    cot_key = jax.random.PRNGKey(5)
+    ks = jax.random.split(cot_key, 5)
+    r, s = rays_o.shape[0], inputs.features.shape[-1]
+    cot = gt.TraceOut(
+        color=jax.random.normal(ks[0], (r, 3)),
+        normal=jax.random.normal(ks[1], (r, 3)),
+        feature=jax.random.normal(ks[2], (r, s)),
+        depth=jax.random.normal(ks[3], (r,)),
+        alpha=jax.random.normal(ks[4], (r,)),
+    )
+
+    def loss_prod(inp, ro, rd):
+        out = gt.trace(ro, rd, grid, inp, cfg=CFG, sh_deg=3)
+        return sum(jnp.vdot(a, b) for a, b in zip(out, cot))
+
+    def loss_ref(inp, ro, rd):
+        out = gt.trace_reference(ro, rd, inp, alive, sh_deg=3,
+                                 transmittance_min=CFG.transmittance_min)
+        return sum(jnp.vdot(a, b) for a, b in zip(out, cot))
+
+    g1 = jax.grad(loss_prod, argnums=(0, 1, 2))(inputs, rays_o, rays_d)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(inputs, rays_o, rays_d)
+    for (a, b, name) in [
+        (g1[0].means3d, g2[0].means3d, "means3d"),
+        (g1[0].opacity, g2[0].opacity, "opacity"),
+        (g1[0].ru, g2[0].ru, "ru"),
+        (g1[0].rv, g2[0].rv, "rv"),
+        (g1[0].normals, g2[0].normals, "normals"),
+        (g1[0].shs, g2[0].shs, "shs"),
+        (g1[0].features, g2[0].features, "features"),
+        (g1[1], g2[1], "rays_o"),
+        (g1[2], g2[2], "rays_d"),
+    ]:
+        scale = np.maximum(np.abs(np.asarray(b)).max(), 1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4 * scale, rtol=2e-3,
+                                   err_msg=f"grad mismatch: {name}")
+
+
+def test_single_surfel_analytic():
+    # one axis-aligned surfel at origin, ray straight down the z axis:
+    # alpha = opacity, depth = distance, normal flipped toward ray origin
+    inputs = gt.TraceInputs(
+        means3d=jnp.zeros((1, 3)),
+        opacity=jnp.array([0.7]),
+        ru=jnp.array([[10.0, 0, 0]]),
+        rv=jnp.array([[0, 10.0, 0]]),
+        normals=jnp.array([[0.0, 0, 1.0]]),
+        shs=jnp.zeros((1, 16, 3)),
+        features=jnp.ones((1, 2)),
+    )
+    alive = jnp.ones(1, bool)
+    radius = gt.bounding_radius(inputs.opacity, jnp.array([[0.1, 0.1]]), CFG.alpha_min)
+    grid = gt.build_grid(inputs.means3d, radius, alive, grid_res=8,
+                         pair_capacity=256, span_cap=4)
+    cfg = gt.TracerConfig(grid_res=8, pair_capacity=256, cell_eval_cap=8, max_steps=32)
+    ro = jnp.array([[0.0, 0.0, -2.0], [0.03, 0.0, -2.0], [5.0, 5.0, -2.0]])
+    rd = jnp.array([[0.0, 0.0, 1.0]] * 3)
+    out = gt.trace(ro, rd, grid, inputs, cfg=cfg, sh_deg=0)
+    np.testing.assert_allclose(out.alpha[0], 0.7, atol=1e-6)
+    np.testing.assert_allclose(out.depth[0], 0.7 * 2.0, atol=1e-5)   # w * d
+    np.testing.assert_allclose(out.normal[0], [0, 0, -0.7], atol=1e-6)
+    # offset ray: alpha = 0.7 * exp(-0.5*(0.3)^2)
+    np.testing.assert_allclose(out.alpha[1], 0.7 * np.exp(-0.5 * 0.3 ** 2), rtol=1e-5)
+    # miss
+    np.testing.assert_allclose(out.alpha[2], 0.0, atol=1e-7)
+
+
+def test_normalize_trace_saturation():
+    out = gt.TraceOut(color=jnp.array([[0.5, 0.5, 0.5]]), normal=jnp.zeros((1, 3)),
+                      feature=jnp.zeros((1, 0)), depth=jnp.array([1.0]),
+                      alpha=jnp.array([0.98]))
+    norm = gt.normalize_trace(out, transmittance_min=0.03)
+    np.testing.assert_allclose(norm.alpha[0], 1.0)
+    np.testing.assert_allclose(norm.color[0], np.array([0.5] * 3) / 0.98, rtol=1e-6)
