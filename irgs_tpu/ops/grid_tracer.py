@@ -1,35 +1,40 @@
 """TPU-native differentiable 2D-Gaussian-surfel ray tracer.
 
 Replaces the reference's OptiX tracer (submodules/surfel_tracer: GAS over
-bounding-icosahedron proxies, k-buffer anyhit gaussiantrace_forward.cu:12-141,
-analytic backward gaussiantrace_backward.cu) with a **uniform voxel grid**
-traversed step-synchronously across a ray batch:
+bounding-icosahedron proxies, 16-hit k-buffer anyhit
+gaussiantrace_forward.cu:12-141, analytic backward
+gaussiantrace_backward.cu) with a uniform voxel grid and a **two-phase
+collect-then-blend** traversal shaped for TPU memory bandwidth:
 
 * **build/refit** — per-Gaussian bounding sphere r = √(2·ln(o/α_min))·max(s)
   (≙ get_boundings, scene/gaussian_model.py:712-723) rasterized into grid
   cells with the same gather-style duplicate+sort+CSR machinery as the image
-  rasterizer. Rebuild each iteration ≙ GaussianTracer.update_bvh.
-* **trace forward** — one `lax.while_loop` advances *every* ray one 3D-DDA
-  cell per iteration: gather the cell's ≤K Gaussians, evaluate the exact
-  surfel-plane hit d = -(n·(o-μ))(n·dir)/(n·dir)², accept hits whose depth
-  falls in the cell's [t_in, t_out) window (each hit counted exactly once,
-  globally depth-ordered across cells), sort within the cell, and
-  alpha-composite color (SH) / normal / feature / depth / alpha — the same
-  outputs as the CUDA raygen loop, with *exact* ordering instead of a 16-hit
-  k-buffer. All per-step work is dense [R, K] vector math.
-* **backward** — `jax.custom_vjp` that replays the same traversal
-  front-to-back, reconstructing dL/dα_i with the telescoping identity
-  Σ_{j>i} w_j·g_j = total − running_prefix (using forward outputs saved as
-  residuals, exactly as gaussiantrace_backward.cu:118-129), then pulls each
-  hit's cotangents back to (μ, opacity, ru, rv, n, sh, features, ray o/d)
-  through one batched `jax.vjp` of the local hit math. Gradient scatter is a
-  deterministic `.at[].add` (replacing CUDA atomics).
+  rasterizer. Rebuild per iteration ≙ GaussianTracer.update_bvh.
+* **phase 1 (collect)** — a `lax.while_loop` 3D-DDA walk that touches ONLY
+  integer cell metadata (4-byte occupancy reads): each ray records up to
+  `max_cells` non-empty cells as (CSR start, count, t_in, t_out). No Gaussian
+  data is read here, so the loop is bandwidth-trivial; this is where the
+  dense design wins back the sparsity OptiX gets from its BVH.
+* **phase 2 (blend)** — the recorded cell ranges unroll into a dense
+  [R, max_hits] candidate table via per-ray cumsum arithmetic (the same
+  searchsorted-duplication trick as the rasterizer binning). One dense pass
+  evaluates the exact surfel-plane hit d = -(n·(o-μ))(n·dir)/(n·dir)²,
+  accepts hits inside their cell's [t_in, t_out) window (each hit counted
+  exactly once, globally ordered after a per-ray depth argsort), and
+  alpha-composites color (SH, per-ray basis hoisted), normal, feature,
+  depth, alpha — the same outputs as the CUDA raygen loop.
+
+Because phase 2 is pure dense gather/arithmetic, **JAX AD provides the exact
+backward** (deterministic scatter-adds into the per-Gaussian arrays and ray
+origins/directions) — no hand-written VJP, unlike the CUDA implementation's
+530-line backward kernel.
 
 Known deviations (revisit in later rounds):
-* Gaussians spanning more than `span_cap` cells per axis are truncated to
-  their lowest span_cap³ cell window. Fine for object-centric scenes.
-* Per-cell evaluation is capped at `cell_eval_cap` Gaussians (reference
-  k-buffer caps at 16 *per trace segment*, re-traced — comparable effect).
+* Gaussians spanning more than `span_cap` cells per axis are truncated to a
+  centered span_cap³ window.
+* Per-ray budgets: ≤ max_cells non-empty cells and ≤ max_hits candidate
+  intersections (reference: 16-hit k-buffer per segment, re-traced until
+  T < 0.03 — comparable truncation semantics).
 """
 
 from __future__ import annotations
@@ -50,11 +55,15 @@ INF = jnp.float32(1e16)
 class TracerConfig:
     grid_res: int = 64
     pair_capacity: int = 2 ** 21
-    cell_eval_cap: int = 32        # gaussians evaluated per (ray, step)
-    max_steps: int = 192
+    max_cells: int = 12            # non-empty cells recorded per ray
+    max_hits: int = 48             # candidate intersections blended per ray
+    max_steps: int = 256           # DDA cell visits (cheap: int reads only)
     span_cap: int = 6              # max cells per axis per gaussian
     transmittance_min: float = 0.03
     alpha_min: float = 1.0 / 255.0
+
+    # back-compat alias (older call sites tuned this)
+    cell_eval_cap: int = 0
 
 
 class Grid(NamedTuple):
@@ -95,7 +104,7 @@ def bounding_radius(opacity, scales, alpha_min: float):
 
 @functools.partial(jax.jit, static_argnames=("grid_res", "pair_capacity", "span_cap"))
 def build_grid(means3d, radius, alive, *, grid_res: int, pair_capacity: int,
-               span_cap: int = 4) -> Grid:
+               span_cap: int = 6) -> Grid:
     g = grid_res
     n = means3d.shape[0]
     r = jnp.where(alive, radius, 0.0)
@@ -152,11 +161,7 @@ def build_grid_from_gaussians(params, aux, cfg: TracerConfig) -> Grid:
 
 def _hit_geom(mean, opa, ru, rv, nrm, ray_o, ray_d):
     """Batched Gaussian×ray geometric hit -> (alpha, n_flip, depth).
-
-    ≙ the raygen per-hit math (gaussiantrace_forward.cu:61-92). Kept small:
-    the backward pass takes a jax.vjp of exactly this function, so its graph
-    size directly controls compile time of the traversal loop.
-    """
+    ≙ the raygen per-hit math (gaussiantrace_forward.cu:61-92)."""
     o_g = jnp.sum(nrm * (ray_o - mean), axis=-1)
     d_g = jnp.sum(nrm * ray_d, axis=-1)
     d = -o_g * d_g / jnp.maximum(1e-6, d_g * d_g)
@@ -171,9 +176,8 @@ def _hit_geom(mean, opa, ru, rv, nrm, ray_o, ray_d):
 
 
 def _sh_basis(sh_deg: int, dirs):
-    """SH basis row vector b [..., C] such that pre-clamp color =
-    Σ_j b_j·sh_j + 0.5 (same convention as computeColorFromSH_forward).
-    Evaluated ONCE per ray, not per hit."""
+    """SH basis b [..., C]: pre-clamp color = Σ_j b_j·sh_j + 0.5
+    (computeColorFromSH convention). Evaluated once per ray."""
     from ..utils.sh import C0, C1, C2, C3
     x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
     one = jnp.ones_like(x)
@@ -194,12 +198,6 @@ def _sh_basis(sh_deg: int, dirs):
     return jnp.stack(terms, axis=-1)
 
 
-def _hit_color(sh, basis):
-    """sh [..., C, 3] × basis [..., C] -> clamped color [..., 3]."""
-    pre = jnp.einsum("...c,...cd->...d", basis, sh) + 0.5
-    return jnp.maximum(pre, 0.0)
-
-
 def _hit_quantities(mean, opa, ru, rv, nrm, sh, feat, ray_o, ray_d, sh_deg: int):
     """Full per-hit outputs (used by the brute-force reference oracle)."""
     alpha, n_flip, d = _hit_geom(mean, opa, ru, rv, nrm, ray_o, ray_d)
@@ -210,11 +208,10 @@ def _hit_quantities(mean, opa, ru, rv, nrm, sh, feat, ray_o, ray_d, sh_deg: int)
 
 
 # ---------------------------------------------------------------------------
-# step-synchronous DDA engine
+# phase 1: DDA cell collection (integer-only traffic)
 # ---------------------------------------------------------------------------
 
 def _ray_setup(ray_o, ray_d, grid: Grid, grid_res: int):
-    """Slab test + DDA init for [R] rays."""
     g = grid_res
     bb_max = grid.bb_min + grid.cell_size * g
     inv_d = jnp.where(jnp.abs(ray_d) < 1e-12, INF, 1.0 / ray_d)
@@ -234,243 +231,152 @@ def _ray_setup(ray_o, ray_d, grid: Grid, grid_res: int):
     return cell, sgn, tdelta, tmax, t_enter, t1, hit_box
 
 
-def _stepwise(ray_o, ray_d, grid: Grid, inputs: TraceInputs, cfg: TracerConfig,
-              sh_deg: int, back_culling: bool, visitor, extra0):
-    """Advance all R rays one DDA cell per while-iteration.
+def collect_cells(ray_o, ray_d, grid: Grid, cfg: TracerConfig):
+    """[R] rays -> per-ray (cell_start, cell_count, t_in, t_out) of up to
+    max_cells non-empty cells in traversal order. Non-differentiable.
 
-    visitor(extra, ray-step batch data) -> extra accumulates whatever the
-    caller needs (forward outputs, or gradients in the backward replay).
-    Its inputs are depth-sorted per ray; `w` already includes incoming T.
+    LOOP-FREE: a DDA trajectory is the merge of three arithmetic sequences
+    of axis-boundary crossing times, so the entire visited-cell list is one
+    [R, 3g] sort plus prefix sums — no `while_loop` (whose per-iteration
+    dispatch overhead dominated a sequential implementation on TPU).
     """
     g = cfg.grid_res
     R = ray_o.shape[0]
-    K = cfg.cell_eval_cap
+    C = cfg.max_cells
+    S = 3 * g  # max boundary crossings
 
-    cell, sgn, tdelta, tmax, t_enter, t_exit, hit_box = _ray_setup(ray_o, ray_d, grid, g)
-    T0 = jnp.where(hit_box, 1.0, 0.0)
+    cell0, sgn, tdelta, tmax, t_enter, t_exit, hit_box = _ray_setup(
+        ray_o, ray_d, grid, g)
 
-    def active_of(cell, T, t_cur):
-        return (jnp.all((cell >= 0) & (cell < g), axis=-1)
-                & (T > cfg.transmittance_min) & (t_cur < t_exit))
+    # crossing times per axis: tmax_a + k*tdelta_a, k = 0..g-1  -> [R, 3, g]
+    k = jnp.arange(g, dtype=jnp.float32)
+    times = tmax[:, :, None] + k[None, None, :] * tdelta[:, :, None]
+    times = times.reshape(R, S)
+    axis_lbl = jnp.broadcast_to(
+        jnp.arange(3, dtype=jnp.int32)[None, :, None], (R, 3, g)).reshape(R, S)
 
-    def cond(state):
-        step, cell, tmax, t_cur, T, extra = state
-        return (step < cfg.max_steps) & jnp.any(active_of(cell, T, t_cur))
+    order = jnp.argsort(times, axis=-1)
+    t_sorted = jnp.take_along_axis(times, order, axis=-1)           # [R, S]
+    ax_sorted = jnp.take_along_axis(axis_lbl, order, axis=-1)
 
-    n_coeff = (sh_deg + 1) ** 2
-    basis = _sh_basis(sh_deg, ray_d)                                  # [R, C]
+    # cell after j crossings = cell0 + sgn * (#crossings per axis among first j)
+    onehot = jax.nn.one_hot(ax_sorted, 3, dtype=jnp.int32)          # [R, S, 3]
+    steps = jnp.cumsum(onehot, axis=1)
+    # visited segment j (j = 0..S): cells[j], window [t_in_j, t_out_j)
+    cells_j = jnp.concatenate(
+        [cell0[:, None], cell0[:, None] + sgn[:, None] * steps], axis=1)  # [R, S+1, 3]
+    t_in_j = jnp.concatenate([t_enter[:, None], t_sorted], axis=1)        # [R, S+1]
+    t_out_j = jnp.concatenate([t_sorted, jnp.full((R, 1), INF)], axis=1)
+    t_out_j = jnp.minimum(t_out_j, t_exit[:, None])
 
-    def body(state):
-        step, cell, tmax, t_cur, T, extra = state
-        active = active_of(cell, T, t_cur)
-        cell_c = jnp.clip(cell, 0, g - 1)
-        cell_id = (cell_c[:, 2] * g + cell_c[:, 1]) * g + cell_c[:, 0]
-        t_next = jnp.minimum(jnp.min(tmax, axis=-1), t_exit)
+    in_bounds = jnp.all((cells_j >= 0) & (cells_j < g), axis=-1)
+    seg_valid = (in_bounds & hit_box[:, None]
+                 & (t_in_j < t_out_j) & (t_in_j < t_exit[:, None]))
+    cc = jnp.clip(cells_j, 0, g - 1)
+    cid = (cc[..., 2] * g + cc[..., 1]) * g + cc[..., 0]
+    cnt = jnp.where(seg_valid, grid.cell_count[cid], 0)
 
-        base = grid.cell_start[cell_id]
-        cnt = jnp.where(active, grid.cell_count[cell_id], 0)
-        idx = jnp.minimum(base[:, None] + jnp.arange(K, dtype=jnp.int32)[None],
-                          grid.sorted_gauss.shape[0] - 1)
-        gs = grid.sorted_gauss[idx]                                   # [R, K]
-        mask = jnp.arange(K)[None] < jnp.minimum(cnt, K)[:, None]
+    # pack the first max_cells non-empty segments per ray
+    nonempty = cnt > 0
+    rank = jnp.cumsum(nonempty.astype(jnp.int32), axis=1) - 1       # [R, S+1]
+    sel = nonempty & (rank < C)
+    slot = jnp.where(sel, rank, C)                                   # C = dump
+    ridx = jnp.broadcast_to(jnp.arange(R)[:, None], slot.shape)
 
-        primals = (inputs.means3d[gs], inputs.opacity[gs], inputs.ru[gs],
-                   inputs.rv[gs], inputs.normals[gs])
-        alpha, n_flip, d = _hit_geom(*primals, ray_o[:, None], ray_d[:, None])
-        sh_g = inputs.shs[gs][:, :, :n_coeff]                         # [R, K, C, 3]
-        color = _hit_color(sh_g, basis[:, None])
-        feat = inputs.features[gs]
+    def pack(values, dtype):
+        buf = jnp.zeros((R, C + 1), dtype)
+        return buf.at[ridx, slot].set(values.astype(dtype))[:, :C]
 
-        accept = (mask & (alpha >= cfg.alpha_min)
-                  & (d >= t_cur[:, None]) & (d < t_next[:, None]))
-        if back_culling:
-            accept = accept & (jnp.sum(ray_d[:, None] * inputs.normals[gs], -1) < 0)
-        alpha = jnp.where(accept, alpha, 0.0)
-
-        order = jnp.argsort(jnp.where(accept, d, INF), axis=-1)       # [R, K]
-        take2 = lambda x: jnp.take_along_axis(x, order, axis=1)
-        take3 = lambda x: jnp.take_along_axis(x, order[..., None], axis=1)
-        alpha_s = take2(alpha)
-        lg = jnp.log1p(-alpha_s)
-        T_in = T[:, None] * jnp.exp(jnp.cumsum(lg, -1) - lg)
-        w = alpha_s * T_in
-        # CUDA breaks out of the hit loop once T drops below transmittance_min
-        # (gaussiantrace_forward.cu:95-97): later hits in the cell contribute 0
-        w = jnp.where(T_in > cfg.transmittance_min, w, 0.0)
-        T_out = T * jnp.exp(jnp.sum(lg, -1))
-
-        inv_order = jnp.argsort(order, axis=-1)
-        extra = visitor(
-            extra,
-            dict(gs=gs, w=w, alpha_s=alpha_s, T_in=T_in,
-                 color=take3(color), normal=take3(n_flip), feature=take3(feat),
-                 depth=take2(d), primals=primals, basis=basis, sh_g=sh_g,
-                 color_unsorted=color, inv_order=inv_order, active=active),
-        )
-
-        axis = jnp.argmin(tmax, axis=-1)
-        onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
-        cell2 = cell + onehot * sgn
-        tmax2 = tmax + onehot.astype(tmax.dtype) * tdelta
-        am = active[:, None]
-        return (step + 1, jnp.where(am, cell2, cell), jnp.where(am, tmax2, tmax),
-                jnp.where(active, t_next, t_cur), jnp.where(active, T_out, T), extra)
-
-    state = (jnp.int32(0), cell, tmax, t_enter, T0, extra0)
-    state = jax.lax.while_loop(cond, body, state)
-    return state[5]
+    starts = pack(grid.cell_start[cid], jnp.int32)
+    counts = pack(cnt, jnp.int32)
+    tin = pack(t_in_j, jnp.float32)
+    tout = pack(t_out_j, jnp.float32)
+    return starts, counts, tin, tout
 
 
 # ---------------------------------------------------------------------------
-# forward / backward
+# phase 2: dense candidate blend (differentiable by JAX AD)
 # ---------------------------------------------------------------------------
 
-def _forward(ray_o, ray_d, grid, inputs: TraceInputs, cfg, sh_deg, back_culling):
-    R = ray_o.shape[0]
-    S = inputs.features.shape[-1]
-
-    def visitor(extra, hit):
-        C, N, F, D, O = extra
-        w = hit["w"]
-        wa = jnp.where(hit["active"][:, None], w, 0.0)
-        return (
-            C + jnp.einsum("rk,rkc->rc", wa, hit["color"]),
-            N + jnp.einsum("rk,rkc->rc", wa, hit["normal"]),
-            F + jnp.einsum("rk,rks->rs", wa, hit["feature"]),
-            D + jnp.sum(wa * hit["depth"], -1),
-            O + jnp.sum(wa, -1),
-        )
-
-    extra0 = (jnp.zeros((R, 3)), jnp.zeros((R, 3)), jnp.zeros((R, S)),
-              jnp.zeros(R), jnp.zeros(R))
-    C, N, F, D, O = _stepwise(ray_o, ray_d, grid, inputs, cfg, sh_deg,
-                              back_culling, visitor, extra0)
-    return TraceOut(C, N, F, D, O)
-
-
-def _backward(ray_o, ray_d, grid, inputs: TraceInputs, out: TraceOut,
-              cot: TraceOut, cfg, sh_deg, back_culling):
-    R = ray_o.shape[0]
-    S = inputs.features.shape[-1]
-    cot = TraceOut(*[jnp.nan_to_num(c) for c in cot])
-
+def _blend_candidates(ray_o, ray_d, inputs: TraceInputs, sorted_gauss, cells,
+                      cfg: TracerConfig, sh_deg: int, back_culling: bool):
+    starts, counts, tin, tout = cells
+    R, C = starts.shape
+    H = cfg.max_hits
     n_coeff = (sh_deg + 1) ** 2
-    grads0 = TraceInputs(*[jnp.zeros_like(x) for x in inputs])
-    acc0 = (jnp.zeros((R, 3)), jnp.zeros((R, 3)), jnp.zeros((R, S)),
-            jnp.zeros(R), jnp.zeros(R))
-    extra0 = (acc0, grads0, jnp.zeros_like(ray_o), jnp.zeros_like(ray_d),
-              jnp.zeros((R, n_coeff)))
 
-    def visitor(extra, hit):
-        acc, grads, gro, grd, gbasis = extra
-        accC, accN, accF, accD, accO = acc
-        w = jnp.where(hit["active"][:, None], hit["w"], 0.0)
-        color, normal, feature, depth = hit["color"], hit["normal"], hit["feature"], hit["depth"]
-        alpha_s, T_in = hit["alpha_s"], hit["T_in"]
+    cum = jnp.cumsum(counts, axis=-1)                     # [R, C]
+    excl = cum - counts
+    h = jnp.arange(H, dtype=jnp.int32)[None]              # [1, H]
+    # candidate h belongs to cell c(h): number of cells with cum <= h
+    cidx = jnp.sum((cum[:, None, :] <= h[..., None]).astype(jnp.int32), axis=-1)
+    cidx_c = jnp.minimum(cidx, C - 1)
+    take_rc = lambda x: jnp.take_along_axis(x, cidx_c, axis=1)
+    offset = h - take_rc(excl)
+    pos = jnp.take_along_axis(starts, cidx_c, axis=1) + offset
+    valid = (h < cum[:, -1:]) & (cidx < C) & (offset < take_rc(counts))
+    pos = jnp.clip(pos, 0, sorted_gauss.shape[0] - 1)
+    gs = sorted_gauss[pos]
+    t_in_h = take_rc(tin)
+    t_out_h = take_rc(tout)
 
-        prefC = accC[:, None] + jnp.cumsum(w[..., None] * color, axis=1)
-        prefN = accN[:, None] + jnp.cumsum(w[..., None] * normal, axis=1)
-        prefF = accF[:, None] + jnp.cumsum(w[..., None] * feature, axis=1)
-        prefD = accD[:, None] + jnp.cumsum(w * depth, axis=1)
-        prefO = accO[:, None] + jnp.cumsum(w, axis=1)
+    alpha, n_flip, d = _hit_geom(
+        inputs.means3d[gs], inputs.opacity[gs], inputs.ru[gs], inputs.rv[gs],
+        inputs.normals[gs], ray_o[:, None], ray_d[:, None])
+    accept = (valid & (alpha >= cfg.alpha_min)
+              & (d >= jnp.maximum(t_in_h, 1e-6)) & (d < t_out_h))
+    if back_culling:
+        accept = accept & (jnp.sum(ray_d[:, None] * inputs.normals[gs], -1) < 0)
+    alpha = jnp.where(accept, alpha, 0.0)
 
-        dLdw = (jnp.einsum("rkc,rc->rk", color, cot.color)
-                + jnp.einsum("rkc,rc->rk", normal, cot.normal)
-                + jnp.einsum("rks,rs->rk", feature, cot.feature)
-                + depth * cot.depth[:, None] + cot.alpha[:, None])
-        remainder = (jnp.einsum("rkc,rc->rk", out.color[:, None] - prefC, cot.color)
-                     + jnp.einsum("rkc,rc->rk", out.normal[:, None] - prefN, cot.normal)
-                     + jnp.einsum("rks,rs->rk", out.feature[:, None] - prefF, cot.feature)
-                     + (out.depth[:, None] - prefD) * cot.depth[:, None]
-                     + (out.alpha[:, None] - prefO) * cot.alpha[:, None])
-        one_m = jnp.maximum(1.0 - alpha_s, 1e-6)
-        dLdalpha = jnp.where(w > 0, T_in * dLdw - remainder / one_m, 0.0)
+    order = jnp.argsort(jnp.where(accept, d, INF), axis=-1)
+    take2 = lambda x: jnp.take_along_axis(x, order, axis=1)
+    take3 = lambda x: jnp.take_along_axis(x, order[..., None], axis=1)
+    alpha_s = take2(alpha)
+    lg = jnp.log1p(-alpha_s)
+    T_in = jnp.exp(jnp.cumsum(lg, -1) - lg)
+    w = alpha_s * T_in
+    # CUDA stops accumulating once T < transmittance_min
+    # (gaussiantrace_forward.cu:95-97)
+    w = jnp.where(T_in > cfg.transmittance_min, w, 0.0)
 
-        # cotangents back in gather order
-        inv = hit["inv_order"]
-        u2 = lambda x: jnp.take_along_axis(x, inv, axis=1)
-        w_u = u2(w)
-        dalpha_u = u2(dLdalpha)
+    gs_s = take2(gs)
+    basis = _sh_basis(sh_deg, ray_d)                      # [R, C_sh]
+    sh_g = inputs.shs[gs_s][:, :, :n_coeff]               # [R, H, C_sh, 3]
+    color = jnp.maximum(
+        jnp.einsum("rc,rhcd->rhd", basis, sh_g) + 0.5, 0.0)
+    feat = inputs.features[gs_s]
+    n_s = take3(n_flip)
+    d_s = take2(d)
 
-        # geometry pullback (small vjp: alpha, n_flip, depth only)
-        def geom(m, o, u, v, nn, ro, rd):
-            return _hit_geom(m, o, u, v, nn, ro[:, None], rd[:, None])
-
-        _, pullback = jax.vjp(geom, *hit["primals"], ray_o, ray_d)
-        gm, go, gru, grv, gn, gro_i, grd_i = pullback(
-            (dalpha_u,
-             w_u[..., None] * cot.normal[:, None],
-             w_u * cot.depth[:, None]))
-
-        # SH color gradients in closed form: color = max(b·sh + .5, 0)
-        dcolor = w_u[..., None] * cot.color[:, None]                  # [R,K,3]
-        dcolor = jnp.where(hit["color_unsorted"] > 0, dcolor, 0.0)
-        gsh = jnp.einsum("rj,rkc->rkjc", hit["basis"], dcolor)        # [R,K,C,3]
-        gbasis = gbasis + jnp.einsum("rkjc,rkc->rj", hit["sh_g"], dcolor)
-        gfeat = w_u[..., None] * cot.feature[:, None]                 # [R,K,S]
-
-        flat = hit["gs"].reshape(-1)
-        pad_c = inputs.shs.shape[1] - n_coeff
-        gsh_full = jnp.pad(gsh, ((0, 0), (0, 0), (0, pad_c), (0, 0)))
-        grads = TraceInputs(
-            means3d=grads.means3d.at[flat].add(gm.reshape(-1, 3)),
-            opacity=grads.opacity.at[flat].add(go.reshape(-1)),
-            ru=grads.ru.at[flat].add(gru.reshape(-1, 3)),
-            rv=grads.rv.at[flat].add(grv.reshape(-1, 3)),
-            normals=grads.normals.at[flat].add(gn.reshape(-1, 3)),
-            shs=grads.shs.at[flat].add(gsh_full.reshape(-1, *inputs.shs.shape[1:])),
-            features=grads.features.at[flat].add(gfeat.reshape(flat.shape[0], S)),
-        )
-        acc = (prefC[:, -1], prefN[:, -1], prefF[:, -1], prefD[:, -1], prefO[:, -1])
-        return acc, grads, gro + gro_i, grd + grd_i, gbasis
-
-    _, grads, gro, grd, gbasis = _stepwise(ray_o, ray_d, grid, inputs, cfg,
-                                           sh_deg, back_culling, visitor, extra0)
-    # basis is a per-ray loop constant: convert its cotangent to ray_d once
-    _, basis_vjp = jax.vjp(lambda rd: _sh_basis(sh_deg, rd), ray_d)
-    grd = grd + basis_vjp(gbasis)[0]
-    return grads, gro, grd
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _trace_custom(ray_o, ray_d, grid, inputs, cfg, sh_deg, back_culling):
-    return _forward(ray_o, ray_d, grid, inputs, cfg, sh_deg, back_culling)
-
-
-def _trace_fwd(ray_o, ray_d, grid, inputs, cfg, sh_deg, back_culling):
-    out = _forward(ray_o, ray_d, grid, inputs, cfg, sh_deg, back_culling)
-    return out, (ray_o, ray_d, grid, inputs, out)
-
-
-def _zero_cotangent(x):
-    if jnp.issubdtype(x.dtype, jnp.integer) or x.dtype == jnp.bool_:
-        return jnp.zeros(x.shape, dtype=jax.dtypes.float0)
-    return jnp.zeros_like(x)
-
-
-def _trace_bwd(cfg, sh_deg, back_culling, res, cot):
-    ray_o, ray_d, grid, inputs, out = res
-    g_inputs, g_ro, g_rd = _backward(ray_o, ray_d, grid, inputs, out,
-                                     TraceOut(*cot), cfg, sh_deg, back_culling)
-    g_grid = jax.tree.map(_zero_cotangent, grid)
-    return g_ro, g_rd, g_grid, g_inputs
-
-
-_trace_custom.defvjp(_trace_fwd, _trace_bwd)
+    return TraceOut(
+        color=jnp.einsum("rh,rhd->rd", w, color),
+        normal=jnp.einsum("rh,rhd->rd", w, n_s),
+        feature=jnp.einsum("rh,rhs->rs", w, feat),
+        depth=jnp.sum(w * d_s, -1),
+        alpha=jnp.sum(w, -1),
+    )
 
 
 def trace(ray_o, ray_d, grid: Grid, inputs: TraceInputs, *, cfg: TracerConfig,
           sh_deg: int, back_culling: bool = False) -> TraceOut:
     """Differentiable trace of [R, 3] rays. Gradients flow to every
     TraceInputs field and to ray origins/directions (≙ _GaussianTrace,
-    surfel_tracer/raytracer.py:5-66)."""
-    return _trace_custom(ray_o, ray_d, grid, inputs, cfg, sh_deg, back_culling)
+    surfel_tracer/raytracer.py:5-66) through plain JAX AD of the dense
+    blend; the cell-collection phase is index-only and detached."""
+    cells = collect_cells(jax.lax.stop_gradient(ray_o),
+                          jax.lax.stop_gradient(ray_d), grid, cfg)
+    blend = jax.checkpoint(
+        lambda ro, rd, inp: _blend_candidates(ro, rd, inp, grid.sorted_gauss,
+                                              cells, cfg, sh_deg, back_culling))
+    return blend(ray_o, ray_d, inputs)
 
 
 def trace_forward_only(ray_o, ray_d, grid, inputs, *, cfg: TracerConfig,
                        sh_deg: int, back_culling: bool = False) -> TraceOut:
-    return _forward(jax.lax.stop_gradient(ray_o), jax.lax.stop_gradient(ray_d),
-                    grid, jax.lax.stop_gradient(inputs), cfg, sh_deg, back_culling)
+    return jax.lax.stop_gradient(
+        trace(ray_o, ray_d, grid, jax.lax.stop_gradient(inputs),
+              cfg=cfg, sh_deg=sh_deg, back_culling=back_culling))
 
 
 def first_hit(ray_o, ray_d, grid: Grid, inputs: TraceInputs, *, cfg: TracerConfig):

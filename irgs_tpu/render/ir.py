@@ -155,7 +155,7 @@ def rendering_equation(base_color, roughness, normals, position, viewdirs,
 
 def make_trace_fn(params, aux, grid, tracer_cfg: gt.TracerConfig,
                   cam_pos, sh_deg: int, with_materials: bool = False,
-                  ray_chunk: int = 32768):
+                  ray_chunk: int = 16384):
     """Bind Gaussian state into a trace closure with the reference's
     input prep + output normalization (GaussianModel.trace,
     scene/gaussian_model.py:733-765)."""
@@ -181,6 +181,20 @@ def make_trace_fn(params, aux, grid, tracer_cfg: gt.TracerConfig,
         ro = rays_o.reshape(-1, 3)
         rd = rays_d.reshape(-1, 3)
         m = ro.shape[0]
+        # coherence sort: rays grouped by direction octant + origin cell so
+        # each chunk's step-synchronous DDA loop terminates together
+        if m > ray_chunk:
+            oct_ = ((rd[:, 0] > 0).astype(jnp.int32) * 4
+                    + (rd[:, 1] > 0).astype(jnp.int32) * 2
+                    + (rd[:, 2] > 0).astype(jnp.int32))
+            cell = jnp.clip(((ro - grid.bb_min) * grid.inv_cell).astype(jnp.int32),
+                            0, tracer_cfg.grid_res - 1)
+            ckey = (cell[:, 2] * tracer_cfg.grid_res + cell[:, 1]) \
+                * tracer_cfg.grid_res + cell[:, 0]
+            order = jnp.argsort(oct_ * (tracer_cfg.grid_res ** 3) + ckey)
+            inv_order = jnp.argsort(order)
+            ro = ro[order]
+            rd = rd[order]
         # chunk the ray axis to bound the tracer's [R, K, ...] working set
         # (≙ the reference's ray-batch chunking, __init__.py:314-322)
         if m > ray_chunk:
@@ -192,7 +206,7 @@ def make_trace_fn(params, aux, grid, tracer_cfg: gt.TracerConfig,
                                     cfg=tracer_cfg, sh_deg=sh_deg),
                 (rop.reshape(-1, ray_chunk, 3), rdp.reshape(-1, ray_chunk, 3)))
             out = gt.TraceOut(*[
-                x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])[:m]
+                x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])[:m][inv_order]
                 for x in out])
         else:
             out = gt.trace(ro, rd, grid, inputs, cfg=tracer_cfg, sh_deg=sh_deg)

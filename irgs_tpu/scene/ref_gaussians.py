@@ -124,19 +124,34 @@ def reset_opacity0(params, alive, max_opacity: float = 0.01):
         jnp.clip(new, 1e-6, 1 - 1e-6)))
 
 
-def reset_opacity1(params, alive, metallic_thr: float, max_opacity: float = 0.01):
-    """≙ reset_opacity_mask1: clamp opacity only for non-metallic points."""
-    m = jax.nn.sigmoid(params.metallic)[:, 0] < metallic_thr
+def reset_opacity1(params, reset_v: float = 0.9):
+    """≙ reset_opacity_mask1 (ref_gaussian_model.py:397-407): set opacity to
+    reset_v except for points already above it (which keep their value)."""
     cur = jax.nn.sigmoid(params.opacity)
-    new = jnp.where(m[:, None], jnp.minimum(cur, max_opacity), cur)
-    return _replace(params, opacity=math3d.inverse_sigmoid(
+    keep = cur > reset_v
+    new_raw = jnp.where(keep, params.opacity,
+                        jnp.full_like(params.opacity,
+                                      float(math3d.inverse_sigmoid(jnp.float32(reset_v)))))
+    return _replace(params, opacity=new_raw)
+
+
+def reset_metallic(params, init_value: float = 0.01):
+    """≙ reset_metallic_mask (ref_gaussian_model.py:409-415): raise metallic
+    to at least init_value."""
+    new = jnp.maximum(jax.nn.sigmoid(params.metallic), init_value)
+    return _replace(params, metallic=math3d.inverse_sigmoid(
         jnp.clip(new, 1e-6, 1 - 1e-6)))
 
 
-def reset_metallic(params, value: float = 0.01):
-    """≙ reset_metallic_mask."""
-    return _replace(params, metallic=jnp.full_like(
-        params.metallic, float(math3d.inverse_sigmoid(jnp.float32(value)))))
+def dist_color(params, key, metallic_thr: float = 0.02, dist_range: float = 0.4):
+    """≙ dist_color (ref_gaussian_model.py:417-428): jitter the DC color of
+    non-metallic gaussians by U(-range, range)."""
+    m = jax.nn.sigmoid(params.metallic)[:, 0] > metallic_thr
+    noise = jax.random.uniform(key, params.features_dc.shape,
+                               minval=-dist_range, maxval=dist_range)
+    new = jnp.where(m[:, None, None], params.features_dc,
+                    params.features_dc + noise)
+    return _replace(params, features_dc=new)
 
 
 def enlarge_metallic_scales(params, metallic_thr: float, factor: float = 1.5):

@@ -20,22 +20,35 @@ import functools
 import jax
 import jax.numpy as jnp
 
+import dataclasses
+
 from ..scene.gaussians import GaussianAux, GaussianParams
 from ..utils.math3d import quat_to_rotmat
 
-_PER_POINT = ("xyz", "base_color", "metallic", "roughness", "features_dc",
-              "features_rest", "scaling", "rotation", "opacity")
+
+def _per_point_fields(params):
+    """Data fields with a leading per-Gaussian axis (works for both
+    GaussianParams and RefGaussianParams)."""
+    n = params.n_capacity
+    names = []
+    for f in dataclasses.fields(params):
+        if f.name == "max_sh_degree":
+            continue
+        v = getattr(params, f.name)
+        if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == n \
+                and f.name not in ("env",):
+            names.append(f.name)
+    return tuple(names)
 
 
-def _copy_rows(params: GaussianParams, src_idx, dst_idx, ok):
+def _copy_rows(params, src_idx, dst_idx, ok):
     """params[dst] = params[src] where ok (per selected row)."""
     def cp(x):
         rows = x[src_idx]
         mask = ok.reshape((-1,) + (1,) * (rows.ndim - 1))
         return x.at[dst_idx].set(jnp.where(mask, rows, x[dst_idx]))
-    return GaussianParams(
-        **{k: cp(getattr(params, k)) for k in _PER_POINT},
-        env=params.env, max_sh_degree=params.max_sh_degree)
+    return dataclasses.replace(
+        params, **{k: cp(getattr(params, k)) for k in _per_point_fields(params)})
 
 
 def _alloc_dead_slots(alive, selected, max_new: int):
@@ -107,12 +120,11 @@ def densify_and_prune(params: GaussianParams, aux: GaussianAux, opt_state, key,
         new_xyz = params.xyz[src] + offset
         new_scaling = jnp.log(jnp.maximum(stds / (0.8 * n_split), 1e-12))
         okm = ok[:, None]
-        params = GaussianParams(
-            **{**{k: getattr(params, k) for k in _PER_POINT},
-               "xyz": params.xyz.at[dst].set(jnp.where(okm, new_xyz, params.xyz[dst])),
-               "scaling": params.scaling.at[dst].set(
-                   jnp.where(okm, new_scaling, params.scaling[dst]))},
-            env=params.env, max_sh_degree=params.max_sh_degree)
+        params = dataclasses.replace(
+            params,
+            xyz=params.xyz.at[dst].set(jnp.where(okm, new_xyz, params.xyz[dst])),
+            scaling=params.scaling.at[dst].set(
+                jnp.where(okm, new_scaling, params.scaling[dst])))
         new_alive = new_alive.at[dst].set(jnp.where(ok, True, new_alive[dst]))
     # parents of splits die
     new_alive = jnp.where(split_sel, False, new_alive)
@@ -156,10 +168,8 @@ def reset_opacity(params: GaussianParams, opt_state, n_capacity: int,
     """≙ reset_opacity (clip opacities to ≤ max, zero the Adam moments)."""
     from ..utils.math3d import inverse_sigmoid
     new_op = jnp.minimum(params.get_opacity(), max_opacity)
-    params = GaussianParams(
-        **{**{k: getattr(params, k) for k in _PER_POINT},
-           "opacity": inverse_sigmoid(jnp.clip(new_op, 1e-6, 1 - 1e-6))},
-        env=params.env, max_sh_degree=params.max_sh_degree)
+    params = dataclasses.replace(
+        params, opacity=inverse_sigmoid(jnp.clip(new_op, 1e-6, 1 - 1e-6)))
 
     def z(x):
         if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n_capacity:

@@ -1,0 +1,105 @@
+"""NVS rendering + metrics CLI.
+
+≙ reference render.py:32-135: load a trained stage-2 model, render the test
+split with all AOVs, write per-image PNGs and nvs_results.json
+(PSNR/SSIM/LPIPS).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import imageio.v3 as iio
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from irgs_tpu.config import add_config_args, apply_args, load_config
+    from irgs_tpu.eval import metrics as M
+    from irgs_tpu.ops import grid_tracer as gt
+    from irgs_tpu.render.eval import EvalConfig, render_ir_eval
+    from irgs_tpu.scene import gaussians as G
+    from irgs_tpu.scene.datasets import LIGHT_ROTATE_TRANSFORM, load_scene
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-m", "--model_path", required=True)
+    parser.add_argument("--iteration", type=int, default=-1)
+    parser.add_argument("--skip_train", action="store_true", default=True)
+    parser.add_argument("--max_images", type=int, default=-1)
+    cfg0 = load_config(".")
+    add_config_args(parser, cfg0)
+    args = parser.parse_args()
+    cfg = load_config(args.model_path)
+    cfg = apply_args(cfg, args)
+
+    # latest iteration dir
+    pc_dir = os.path.join(args.model_path, "point_cloud")
+    iters = sorted(int(d.split("_")[1]) for d in os.listdir(pc_dir))
+    it = args.iteration if args.iteration > 0 else iters[-1]
+    ply = os.path.join(pc_dir, f"iteration_{it}", "point_cloud.ply")
+    params, aux = G.load_ply(ply, cfg.model.max_gaussians, cfg.model.sh_degree)
+
+    info = load_scene(cfg.model.source_path, cfg.model.white_background,
+                      eval_split=True)
+    cams = info.test_cameras or info.train_cameras
+    if args.max_images > 0:
+        cams = cams[:args.max_images]
+    transform = jnp.asarray(LIGHT_ROTATE_TRANSFORM) if info.light_rotate else None
+
+    h, w = cams[0].height, cams[0].width
+    ecfg = EvalConfig(
+        img_w=w, img_h=h, active_sh_degree=cfg.model.sh_degree,
+        diffuse_sample_num=cfg.pipe.diffuse_sample_num,
+        light_sample_num=cfg.pipe.light_sample_num,
+        wo_indirect=cfg.pipe.wo_indirect,
+        white_background=cfg.model.white_background,
+        tracer=gt.TracerConfig(grid_res=cfg.pipe.tracer_grid_res,
+                               cell_eval_cap=cfg.pipe.tracer_cell_capacity,
+                               max_steps=cfg.pipe.tracer_max_steps))
+    grid = gt.build_grid_from_gaussians(params, aux, ecfg.tracer)
+
+    render_j = jax.jit(lambda p, g, c: render_ir_eval(
+        p, aux, g, c, ecfg, env_transform=transform))
+
+    out_dir = os.path.join(args.model_path, "test", f"ours_{it}")
+    os.makedirs(out_dir, exist_ok=True)
+    vgg = M.load_vgg16_weights()
+    psnrs, ssims, lpipss = [], [], []
+    for i, cam in enumerate(cams):
+        out = render_j(params, grid, cam.params())
+        render = np.asarray(jnp.clip(out["render"], 0, 1))
+        gt_img = cam.image
+        psnrs.append(float(M.psnr(jnp.asarray(render), jnp.asarray(gt_img))))
+        ssims.append(float(M.ssim(jnp.asarray(render), jnp.asarray(gt_img))))
+        lp = M.lpips_fn(jnp.asarray(render), jnp.asarray(gt_img), vgg)
+        lpipss.append(lp)
+        iio.imwrite(os.path.join(out_dir, f"{cam.image_name}_render.png"),
+                    (render * 255).astype(np.uint8))
+        for k in ("base_color", "roughness", "diffuse", "specular",
+                  "visibility", "light_indirect"):
+            img = np.asarray(jnp.clip(out[k], 0, 1))
+            if img.shape[-1] == 1:
+                img = np.repeat(img, 3, -1)
+            iio.imwrite(os.path.join(out_dir, f"{cam.image_name}_{k}.png"),
+                        (img * 255).astype(np.uint8))
+        print(f"[{i+1}/{len(cams)}] {cam.image_name} psnr={psnrs[-1]:.2f}",
+              flush=True)
+
+    results = {
+        "psnr": float(np.mean(psnrs)),
+        "ssim": float(np.mean(ssims)),
+        "lpips": None if lpipss[0] is None else float(np.mean(lpipss)),
+        "per_image_psnr": psnrs,
+    }
+    with open(os.path.join(args.model_path, "test", "nvs_results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps({k: results[k] for k in ("psnr", "ssim", "lpips")}))
+
+
+if __name__ == "__main__":
+    main()

@@ -6,8 +6,8 @@ import pytest
 from irgs_tpu.ops import grid_tracer as gt
 from irgs_tpu.utils import math3d
 
-CFG = gt.TracerConfig(grid_res=16, pair_capacity=2 ** 15, cell_eval_cap=32,
-                      max_steps=64, span_cap=8)
+CFG = gt.TracerConfig(grid_res=16, pair_capacity=2 ** 15, max_cells=48,
+                      max_hits=192, max_steps=64, span_cap=8)
 
 
 def make_inputs(key, n=48, s=4, sh_coeffs=16):
