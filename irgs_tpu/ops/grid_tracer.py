@@ -56,8 +56,15 @@ class TracerConfig:
     grid_res: int = 64
     pair_capacity: int = 2 ** 21
     max_cells: int = 12            # non-empty cells recorded per ray
-    max_hits: int = 48             # candidate intersections blended per ray
-    max_steps: int = 256           # DDA cell visits (cheap: int reads only)
+    max_hits: int = 48             # candidate intersections considered per ray
+    hit_budget: int = 16           # nearest accepted hits actually blended
+                                   # (≙ the reference's 16-slot k-buffer,
+                                   # surfel_tracer auxiliary.h:10); the SH
+                                   # gather/scatter cost scales with this
+    max_crossings: int = 0         # per-axis boundary crossings considered
+                                   # per ray (0 -> grid_res, exact; ~2/3 of
+                                   # grid_res is a safe practical cap)
+    max_steps: int = 256           # unused (kept for config compat)
     span_cap: int = 6              # max cells per axis per gaussian
     transmittance_min: float = 0.03
     alpha_min: float = 1.0 / 255.0
@@ -68,8 +75,8 @@ class TracerConfig:
 
 class Grid(NamedTuple):
     sorted_gauss: jnp.ndarray    # [P] int32 gaussian id per (cell, gaussian) pair
-    cell_start: jnp.ndarray      # [G^3] int32
-    cell_count: jnp.ndarray      # [G^3] int32
+    cell_meta: jnp.ndarray       # [G^3, 2] int32 (CSR start, count) packed:
+                                 # one wide gather beats two narrow ones here
     bb_min: jnp.ndarray          # [3]
     inv_cell: jnp.ndarray        # [3]
     cell_size: jnp.ndarray       # [3]
@@ -141,7 +148,8 @@ def build_grid(means3d, radius, alive, *, grid_res: int, pair_capacity: int,
     cids = jnp.arange(g * g * g, dtype=jnp.int32)
     start = jnp.searchsorted(sorted_cell, cids, side="left").astype(jnp.int32)
     end = jnp.searchsorted(sorted_cell, cids, side="right").astype(jnp.int32)
-    return Grid(sorted_gauss=sorted_gauss, cell_start=start, cell_count=end - start,
+    return Grid(sorted_gauss=sorted_gauss,
+                cell_meta=jnp.stack([start, end - start], axis=-1),
                 bb_min=bb_min, inv_cell=inv_cell, cell_size=cell,
                 overflow=jnp.maximum(total - pair_capacity, 0))
 
@@ -243,21 +251,25 @@ def collect_cells(ray_o, ray_d, grid: Grid, cfg: TracerConfig):
     g = cfg.grid_res
     R = ray_o.shape[0]
     C = cfg.max_cells
-    S = 3 * g  # max boundary crossings
+    k_ax = cfg.max_crossings if cfg.max_crossings > 0 else g
+    k_ax = min(k_ax, g)
+    S = 3 * k_ax  # merged boundary crossings considered
 
     cell0, sgn, tdelta, tmax, t_enter, t_exit, hit_box = _ray_setup(
         ray_o, ray_d, grid, g)
 
-    # crossing times per axis: tmax_a + k*tdelta_a, k = 0..g-1  -> [R, 3, g]
-    k = jnp.arange(g, dtype=jnp.float32)
+    # crossing times per axis: tmax_a + k*tdelta_a  -> [R, 3, k_ax]
+    k = jnp.arange(k_ax, dtype=jnp.float32)
     times = tmax[:, :, None] + k[None, None, :] * tdelta[:, :, None]
     times = times.reshape(R, S)
     axis_lbl = jnp.broadcast_to(
-        jnp.arange(3, dtype=jnp.int32)[None, :, None], (R, 3, g)).reshape(R, S)
+        jnp.arange(3, dtype=jnp.int32)[None, :, None], (R, 3, k_ax)).reshape(R, S)
 
-    order = jnp.argsort(times, axis=-1)
-    t_sorted = jnp.take_along_axis(times, order, axis=-1)           # [R, S]
-    ax_sorted = jnp.take_along_axis(axis_lbl, order, axis=-1)
+    # NOTE: take_along_axis lowers to a pathologically slow serialized gather
+    # on this backend (~0.75 GB/s); multi-operand lax.sort carries payloads
+    # through the sort natively and is orders of magnitude faster.
+    t_sorted, ax_sorted = jax.lax.sort((times, axis_lbl), num_keys=1,
+                                       dimension=-1, is_stable=False)
 
     # cell after j crossings = cell0 + sgn * (#crossings per axis among first j)
     onehot = jax.nn.one_hot(ax_sorted, 3, dtype=jnp.int32)          # [R, S, 3]
@@ -274,24 +286,20 @@ def collect_cells(ray_o, ray_d, grid: Grid, cfg: TracerConfig):
                  & (t_in_j < t_out_j) & (t_in_j < t_exit[:, None]))
     cc = jnp.clip(cells_j, 0, g - 1)
     cid = (cc[..., 2] * g + cc[..., 1]) * g + cc[..., 0]
-    cnt = jnp.where(seg_valid, grid.cell_count[cid], 0)
+    meta = grid.cell_meta[cid]                       # one wide gather
+    cnt = jnp.where(seg_valid, meta[..., 1], 0)
 
-    # pack the first max_cells non-empty segments per ray
+    # pack the first max_cells non-empty segments per ray: one payload sort
+    # by (empty?, traversal order) pushes the non-empty segments to the front
     nonempty = cnt > 0
-    rank = jnp.cumsum(nonempty.astype(jnp.int32), axis=1) - 1       # [R, S+1]
-    sel = nonempty & (rank < C)
-    slot = jnp.where(sel, rank, C)                                   # C = dump
-    ridx = jnp.broadcast_to(jnp.arange(R)[:, None], slot.shape)
-
-    def pack(values, dtype):
-        buf = jnp.zeros((R, C + 1), dtype)
-        return buf.at[ridx, slot].set(values.astype(dtype))[:, :C]
-
-    starts = pack(grid.cell_start[cid], jnp.int32)
-    counts = pack(cnt, jnp.int32)
-    tin = pack(t_in_j, jnp.float32)
-    tout = pack(t_out_j, jnp.float32)
-    return starts, counts, tin, tout
+    pos = jnp.broadcast_to(jnp.arange(cnt.shape[1], dtype=jnp.int32)[None],
+                           cnt.shape)
+    key = jnp.where(nonempty, pos, jnp.int32(1 << 30))
+    _, starts_p, counts_p, tin_p, tout_p = jax.lax.sort(
+        (key, meta[..., 0], cnt, t_in_j, t_out_j),
+        num_keys=1, dimension=-1, is_stable=False)
+    # after the sort, slots past the last non-empty segment carry cnt == 0
+    return starts_p[:, :C], counts_p[:, :C], tin_p[:, :C], tout_p[:, :C]
 
 
 # ---------------------------------------------------------------------------
@@ -308,31 +316,56 @@ def _blend_candidates(ray_o, ray_d, inputs: TraceInputs, sorted_gauss, cells,
     cum = jnp.cumsum(counts, axis=-1)                     # [R, C]
     excl = cum - counts
     h = jnp.arange(H, dtype=jnp.int32)[None]              # [1, H]
-    # candidate h belongs to cell c(h): number of cells with cum <= h
-    cidx = jnp.sum((cum[:, None, :] <= h[..., None]).astype(jnp.int32), axis=-1)
-    cidx_c = jnp.minimum(cidx, C - 1)
-    take_rc = lambda x: jnp.take_along_axis(x, cidx_c, axis=1)
-    offset = h - take_rc(excl)
-    pos = jnp.take_along_axis(starts, cidx_c, axis=1) + offset
-    valid = (h < cum[:, -1:]) & (cidx < C) & (offset < take_rc(counts))
+    # candidate h belongs to cell c(h): number of cells with cum <= h.
+    # Per-cell attributes are fetched with a one-hot contraction over the
+    # small C axis — take_along_axis lowers to a pathologically slow gather
+    # on this backend.
+    cmp = (cum[:, None, :] <= h[..., None])               # [R, H, C]
+    cidx = jnp.sum(cmp.astype(jnp.int32), axis=-1)
+    onehot = (cidx[..., None] == jnp.arange(C, dtype=jnp.int32)).astype(jnp.float32)
+
+    def take_rc(x):
+        return jnp.einsum("rc,rhc->rh", x.astype(jnp.float32), onehot,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    offset = h - take_rc(excl).astype(jnp.int32)
+    pos = take_rc(starts).astype(jnp.int32) + offset
+    valid = (h < cum[:, -1:]) & (cidx < C) & (offset < take_rc(counts).astype(jnp.int32))
     pos = jnp.clip(pos, 0, sorted_gauss.shape[0] - 1)
     gs = sorted_gauss[pos]
     t_in_h = take_rc(tin)
     t_out_h = take_rc(tout)
 
+    # one wide 13-float gather instead of five narrow ones: gathers on this
+    # backend are per-row latency-bound, so row width is nearly free
+    geom = jnp.concatenate(
+        [inputs.means3d, inputs.opacity[:, None], inputs.ru, inputs.rv,
+         inputs.normals], axis=-1)                       # [N, 13]
+    geom_g = geom[gs]                                     # [R, H, 13]
     alpha, n_flip, d = _hit_geom(
-        inputs.means3d[gs], inputs.opacity[gs], inputs.ru[gs], inputs.rv[gs],
-        inputs.normals[gs], ray_o[:, None], ray_d[:, None])
+        geom_g[..., 0:3], geom_g[..., 3], geom_g[..., 4:7], geom_g[..., 7:10],
+        geom_g[..., 10:13], ray_o[:, None], ray_d[:, None])
     accept = (valid & (alpha >= cfg.alpha_min)
               & (d >= jnp.maximum(t_in_h, 1e-6)) & (d < t_out_h))
     if back_culling:
-        accept = accept & (jnp.sum(ray_d[:, None] * inputs.normals[gs], -1) < 0)
+        accept = accept & (jnp.sum(ray_d[:, None] * geom_g[..., 10:13], -1) < 0)
     alpha = jnp.where(accept, alpha, 0.0)
 
-    order = jnp.argsort(jnp.where(accept, d, INF), axis=-1)
-    take2 = lambda x: jnp.take_along_axis(x, order, axis=1)
-    take3 = lambda x: jnp.take_along_axis(x, order[..., None], axis=1)
-    alpha_s = take2(alpha)
+    # depth sort: one multi-operand lax.sort carrying payloads (fast native
+    # TPU sort) instead of argsort + take_along_axis; the flipped normal
+    # rides along as three scalar payloads to avoid a post-sort gather
+    d_key = jnp.where(accept, d, INF)
+    d_key = jax.lax.stop_gradient(d_key)
+    _, alpha_s, gs_s, d_s, nfx, nfy, nfz = jax.lax.sort(
+        (d_key, alpha, gs, d, n_flip[..., 0], n_flip[..., 1], n_flip[..., 2]),
+        num_keys=1, dimension=-1, is_stable=False)
+    # k-buffer: keep only the nearest hit_budget accepted hits (rejected
+    # candidates sorted to the end); T saturates within ~16 hits anyway
+    kb = min(cfg.hit_budget, H)
+    alpha_s = alpha_s[:, :kb]
+    gs_s = gs_s[:, :kb]
+    d_s = d_s[:, :kb]
+    nfx, nfy, nfz = nfx[:, :kb], nfy[:, :kb], nfz[:, :kb]
     lg = jnp.log1p(-alpha_s)
     T_in = jnp.exp(jnp.cumsum(lg, -1) - lg)
     w = alpha_s * T_in
@@ -340,14 +373,12 @@ def _blend_candidates(ray_o, ray_d, inputs: TraceInputs, sorted_gauss, cells,
     # (gaussiantrace_forward.cu:95-97)
     w = jnp.where(T_in > cfg.transmittance_min, w, 0.0)
 
-    gs_s = take2(gs)
     basis = _sh_basis(sh_deg, ray_d)                      # [R, C_sh]
-    sh_g = inputs.shs[gs_s][:, :, :n_coeff]               # [R, H, C_sh, 3]
+    sh_g = inputs.shs[:, :n_coeff][gs_s]                  # [R, H, C_sh, 3]
     color = jnp.maximum(
         jnp.einsum("rc,rhcd->rhd", basis, sh_g) + 0.5, 0.0)
     feat = inputs.features[gs_s]
-    n_s = take3(n_flip)
-    d_s = take2(d)
+    n_s = jnp.stack([nfx, nfy, nfz], axis=-1)
 
     return TraceOut(
         color=jnp.einsum("rh,rhd->rd", w, color),

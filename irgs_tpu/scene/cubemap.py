@@ -153,16 +153,17 @@ def _texel_solid_angles(res: int):
 
 def _hammersley(n: int):
     i = jnp.arange(n, dtype=jnp.float32)
+    u32 = lambda v: jnp.uint32(v)  # masks > int32 max must be typed explicitly
     bits = i.astype(jnp.uint32)
     bits = ((bits << 16) | (bits >> 16))
-    bits = ((bits & 0x55555555) << 1) | ((bits & 0xAAAAAAAA) >> 1)
-    bits = ((bits & 0x33333333) << 2) | ((bits & 0xCCCCCCCC) >> 2)
-    bits = ((bits & 0x0F0F0F0F) << 4) | ((bits & 0xF0F0F0F0) >> 4)
-    bits = ((bits & 0x00FF00FF) << 8) | ((bits & 0xFF00FF00) >> 8)
+    bits = ((bits & u32(0x55555555)) << 1) | ((bits & u32(0xAAAAAAAA)) >> 1)
+    bits = ((bits & u32(0x33333333)) << 2) | ((bits & u32(0xCCCCCCCC)) >> 2)
+    bits = ((bits & u32(0x0F0F0F0F)) << 4) | ((bits & u32(0xF0F0F0F0)) >> 4)
+    bits = ((bits & u32(0x00FF00FF)) << 8) | ((bits & u32(0xFF00FF00)) >> 8)
     return i / n, bits.astype(jnp.float32) * 2.3283064365386963e-10
 
 
-@functools.partial(jax.jit, static_argnames=("samples",))
+@functools.partial(jax.jit, static_argnames=("roughness", "cutoff", "samples"))
 def specular_cubemap(cube, roughness: float, cutoff: float = 0.99,
                      samples: int = 128):
     """GGX-NDF prefilter (≙ ru.specular_cubemap, cubemap.cu + ops.py:428-460).
@@ -255,12 +256,13 @@ def compute_fg_lut(res: int = 256, samples: int = 1024):
 
     i = jnp.arange(samples, dtype=jnp.float32)
     # Hammersley
+    u32 = lambda v: jnp.uint32(v)  # masks > int32 max must be typed explicitly
     bits = i.astype(jnp.uint32)
     bits = ((bits << 16) | (bits >> 16))
-    bits = ((bits & 0x55555555) << 1) | ((bits & 0xAAAAAAAA) >> 1)
-    bits = ((bits & 0x33333333) << 2) | ((bits & 0xCCCCCCCC) >> 2)
-    bits = ((bits & 0x0F0F0F0F) << 4) | ((bits & 0xF0F0F0F0) >> 4)
-    bits = ((bits & 0x00FF00FF) << 8) | ((bits & 0xFF00FF00) >> 8)
+    bits = ((bits & u32(0x55555555)) << 1) | ((bits & u32(0xAAAAAAAA)) >> 1)
+    bits = ((bits & u32(0x33333333)) << 2) | ((bits & u32(0xCCCCCCCC)) >> 2)
+    bits = ((bits & u32(0x0F0F0F0F)) << 4) | ((bits & u32(0xF0F0F0F0)) >> 4)
+    bits = ((bits & u32(0x00FF00FF)) << 8) | ((bits & u32(0xFF00FF00)) >> 8)
     xi2 = bits.astype(jnp.float32) * 2.3283064365386963e-10
     xi1 = i / samples
 

@@ -162,8 +162,8 @@ def load_scene(source_path: str, white_background: bool = False,
             info.light_rotate = True
         return info
     if os.path.exists(os.path.join(source_path, "sparse")):
-        raise NotImplementedError(
-            "COLMAP scenes not wired up yet (planned; see SURVEY §2.2)")
+        from .colmap import read_colmap_scene
+        return read_colmap_scene(source_path, eval_split=eval_split)
     raise ValueError(f"Could not recognize scene type at {source_path}")
 
 

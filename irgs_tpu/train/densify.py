@@ -82,7 +82,7 @@ def zero_opt_rows(opt_state, dst_idx, ok, n_capacity: int):
 
 
 @functools.partial(jax.jit, static_argnames=("max_new", "percent_dense",
-                                             "n_split"))
+                                             "n_split", "max_screen_size"))
 def densify_and_prune(params: GaussianParams, aux: GaussianAux, opt_state, key,
                       *, grad_threshold: float, min_opacity: float,
                       extent: float, max_screen_size: int,

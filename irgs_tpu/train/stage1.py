@@ -95,7 +95,7 @@ def stage1_forward_loss(params: GaussianParams, means2d_offset,
     return loss, (metrics, raster.radii)
 
 
-@functools.partial(jax.jit, static_argnames=("st", "optimizer"), donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("st", "optimizer"))
 def stage1_step(state: TrainState, cam: CameraParams, gt_image, cam_mask,
                 *, st: Stage1Static, optimizer):
     """One geometry-training iteration, incl. densification-stat accumulation

@@ -138,7 +138,7 @@ def _calc_loss(render_pkg, gt_image, cam_mask, iteration, st: Stage1FullStatic):
     return loss, metrics
 
 
-@functools.partial(jax.jit, static_argnames=("st", "optimizer"), donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("st", "optimizer"))
 def stage1_full_step(state: Stage1State, cam: CameraParams, gt_image, cam_mask,
                      fg_lut, vol: tsdf_ops.TSDFVolume | None,
                      *, st: Stage1FullStatic, optimizer):

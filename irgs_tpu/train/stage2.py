@@ -84,9 +84,10 @@ def from_configs(cfg, img_w: int, img_h: int, active_sh_degree: int = 3) -> Stag
         wo_indirect=p.wo_indirect, detach_indirect=p.detach_indirect,
         white_background=m.white_background, dup_capacity=2 ** 21,
         tracer=gt.TracerConfig(
-            grid_res=p.tracer_grid_res, cell_eval_cap=p.tracer_cell_capacity,
-            max_steps=p.tracer_max_steps, transmittance_min=p.transmittance_min,
-            alpha_min=p.alpha_min),
+            grid_res=p.tracer_grid_res, max_cells=p.tracer_max_cells,
+            max_hits=p.tracer_max_hits, hit_budget=p.tracer_hit_budget,
+            max_crossings=p.tracer_max_crossings,
+            transmittance_min=p.transmittance_min, alpha_min=p.alpha_min),
         lambda_dssim=o.lambda_dssim, lambda_dist=o.lambda_dist,
         lambda_normal_render_depth=o.lambda_normal_render_depth,
         lambda_normal_smooth=o.lambda_normal_smooth,
@@ -208,7 +209,7 @@ def stage2_forward_loss(params: GaussianParams, aux: GaussianAux, grid: gt.Grid,
     return loss, metrics
 
 
-@functools.partial(jax.jit, static_argnames=("st", "optimizer"), donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("st", "optimizer"))
 def stage2_step(state: TrainState, grid: gt.Grid, cam: CameraParams,
                 gt_image, cam_mask, key, *, st: Stage2Static, optimizer):
     def loss_fn(params):

@@ -17,8 +17,11 @@ from flax import serialization
 
 
 def save_checkpoint(path: str, state, iteration: int, extra: dict | None = None):
+    # serialize flat leaves: custom registered dataclasses (GaussianParams
+    # etc.) aren't known to msgpack, but their leaves are plain arrays
+    leaves = [np.asarray(x) for x in jax.tree.leaves(jax.device_get(state))]
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    blob = serialization.to_bytes(jax.device_get(state))
+    blob = serialization.to_bytes(leaves)
     with open(path, "wb") as f:
         f.write(blob)
     manifest = {"iteration": int(iteration), **(extra or {})}
@@ -30,8 +33,10 @@ def load_checkpoint(path: str, template):
     """Restore into a pytree of the same structure (`template`)."""
     with open(path, "rb") as f:
         blob = f.read()
-    state = serialization.from_bytes(jax.device_get(template), blob)
-    state = jax.tree.map(lambda t, x: jax.numpy.asarray(x), template, state)
+    t_leaves, treedef = jax.tree.flatten(template)
+    leaves = serialization.from_bytes([np.asarray(x) for x in t_leaves], blob)
+    import jax.numpy as jnp
+    state = jax.tree.unflatten(treedef, [jnp.asarray(x) for x in leaves])
     manifest = {}
     if os.path.exists(path + ".json"):
         with open(path + ".json") as f:

@@ -59,8 +59,10 @@ def main():
         wo_indirect=cfg.pipe.wo_indirect,
         white_background=cfg.model.white_background,
         tracer=gt.TracerConfig(grid_res=cfg.pipe.tracer_grid_res,
-                               cell_eval_cap=cfg.pipe.tracer_cell_capacity,
-                               max_steps=cfg.pipe.tracer_max_steps))
+                               max_cells=cfg.pipe.tracer_max_cells,
+                               max_hits=cfg.pipe.tracer_max_hits,
+                               hit_budget=cfg.pipe.tracer_hit_budget,
+                               max_crossings=cfg.pipe.tracer_max_crossings))
     grid = gt.build_grid_from_gaussians(params, aux, ecfg.tracer)
 
     render_j = jax.jit(lambda p, g, c: render_ir_eval(

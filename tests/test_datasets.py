@@ -1,0 +1,85 @@
+import json
+import os
+import struct
+
+import numpy as np
+from PIL import Image
+
+from irgs_tpu.scene.colmap import read_colmap_scene, _qvec2rotmat
+from irgs_tpu.scene.datasets import load_scene
+
+
+def write_fake_colmap(root):
+    sparse = os.path.join(root, "sparse", "0")
+    os.makedirs(sparse)
+    imgdir = os.path.join(root, "images")
+    os.makedirs(imgdir)
+    # cameras.bin: one PINHOLE camera
+    with open(os.path.join(sparse, "cameras.bin"), "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 1, 32, 24))
+        f.write(struct.pack("<dddd", 30.0, 30.0, 16.0, 12.0))
+    # images.bin: two images
+    with open(os.path.join(sparse, "images.bin"), "wb") as f:
+        f.write(struct.pack("<Q", 2))
+        for iid, name in ((1, "a.png"), (2, "b.png")):
+            f.write(struct.pack("<i", iid))
+            f.write(struct.pack("<dddd", 1.0, 0, 0, 0))
+            f.write(struct.pack("<ddd", 0.1 * iid, 0, 2.0))
+            f.write(struct.pack("<i", 1))
+            f.write(name.encode() + b"\x00")
+            f.write(struct.pack("<Q", 0))
+    # points3D.bin
+    with open(os.path.join(sparse, "points3D.bin"), "wb") as f:
+        f.write(struct.pack("<Q", 3))
+        for i in range(3):
+            f.write(struct.pack("<Q", i))
+            f.write(struct.pack("<ddd", i * 0.1, 0, 0))
+            f.write(struct.pack("<BBB", 100, 150, 200))
+            f.write(struct.pack("<d", 0.5))
+            f.write(struct.pack("<Q", 0))
+    for name in ("a.png", "b.png"):
+        Image.fromarray(np.zeros((24, 32, 3), np.uint8)).save(
+            os.path.join(imgdir, name))
+
+
+def test_colmap_reader(tmp_path):
+    root = str(tmp_path / "scene")
+    os.makedirs(root)
+    write_fake_colmap(root)
+    info = read_colmap_scene(root, eval_split=True, llffhold=2)
+    assert len(info.train_cameras) == 1 and len(info.test_cameras) == 1
+    assert info.points.shape == (3, 3)
+    np.testing.assert_allclose(info.colors[0], [100 / 255, 150 / 255, 200 / 255])
+    cam = info.train_cameras[0]
+    assert (cam.width, cam.height) == (32, 24)
+    # sniffing dispatch finds it too
+    info2 = load_scene(root)
+    assert len(info2.train_cameras) + len(info2.test_cameras) == 2
+
+
+def test_blender_reader(tmp_path):
+    root = str(tmp_path / "blender")
+    os.makedirs(root)
+    c2w = np.eye(4); c2w[2, 3] = 2.0
+    meta = {"camera_angle_x": 0.8,
+            "frames": [{"file_path": "./r_0",
+                        "transform_matrix": c2w.tolist()}]}
+    with open(os.path.join(root, "transforms_train.json"), "w") as f:
+        json.dump(meta, f)
+    rgba = np.zeros((16, 16, 4), np.uint8)
+    rgba[4:12, 4:12] = [255, 0, 0, 255]
+    Image.fromarray(rgba).save(os.path.join(root, "r_0.png"))
+    info = load_scene(root, white_background=True, eval_split=False)
+    cam = info.train_cameras[0]
+    assert cam.image.shape == (16, 16, 3)
+    assert cam.mask is not None and cam.mask.sum() == 64
+    # white background composited outside the mask
+    np.testing.assert_allclose(cam.image[0, 0], [1, 1, 1])
+    np.testing.assert_allclose(cam.image[8, 8], [1, 0, 0])
+    assert info.points.shape[1] == 3
+
+
+def test_qvec_identity():
+    R = _qvec2rotmat(np.array([1.0, 0, 0, 0]))
+    np.testing.assert_allclose(R, np.eye(3))

