@@ -73,10 +73,26 @@ class TracerConfig:
     cell_eval_cap: int = 0
 
 
+# cell_meta packing: one int32 per cell = (CSR start << 10) | min(count, 1023).
+# A flat scalar gather avoids both a second gather (latency-bound here) and
+# the [*, 2] tiled-layout lane padding that inflates a wide gather 64x.
+_COUNT_BITS = 10
+_COUNT_MASK = (1 << _COUNT_BITS) - 1
+
+
+def pack_cell_meta(start, count):
+    # start must fit in 31 - _COUNT_BITS bits (pair_capacity <= 2^21 - 1)
+    start = jnp.minimum(start, (1 << (31 - _COUNT_BITS)) - 1)
+    return (start << _COUNT_BITS) | jnp.minimum(count, _COUNT_MASK)
+
+
+def unpack_cell_meta(meta):
+    return meta >> _COUNT_BITS, meta & _COUNT_MASK
+
+
 class Grid(NamedTuple):
     sorted_gauss: jnp.ndarray    # [P] int32 gaussian id per (cell, gaussian) pair
-    cell_meta: jnp.ndarray       # [G^3, 2] int32 (CSR start, count) packed:
-                                 # one wide gather beats two narrow ones here
+    cell_meta: jnp.ndarray       # [G^3] int32 packed (start, count)
     bb_min: jnp.ndarray          # [3]
     inv_cell: jnp.ndarray        # [3]
     cell_size: jnp.ndarray       # [3]
@@ -134,8 +150,9 @@ def build_grid(means3d, radius, alive, *, grid_res: int, pair_capacity: int,
     total = cum[-1]
     offsets = cum - count
 
+    from .surfel_raster import counts_by_id, rank_against_arange
     slots = jnp.arange(pair_capacity, dtype=jnp.int32)
-    gi = jnp.minimum(jnp.searchsorted(cum, slots, side="right").astype(jnp.int32), n - 1)
+    gi = jnp.minimum(rank_against_arange(cum, pair_capacity), n - 1)
     local = slots - offsets[gi]
     sx, sy = span[gi, 0], span[gi, 1]
     cx = lo[gi, 0] + local % sx
@@ -145,11 +162,10 @@ def build_grid(means3d, radius, alive, *, grid_res: int, pair_capacity: int,
     cell_id = jnp.where(slots < total, cell_id, g * g * g)
 
     sorted_cell, sorted_gauss = jax.lax.sort((cell_id, gi), num_keys=1)
-    cids = jnp.arange(g * g * g, dtype=jnp.int32)
-    start = jnp.searchsorted(sorted_cell, cids, side="left").astype(jnp.int32)
-    end = jnp.searchsorted(sorted_cell, cids, side="right").astype(jnp.int32)
+    per_cell = counts_by_id(cell_id, g * g * g)
+    start = jnp.cumsum(per_cell) - per_cell
     return Grid(sorted_gauss=sorted_gauss,
-                cell_meta=jnp.stack([start, end - start], axis=-1),
+                cell_meta=pack_cell_meta(start, per_cell),
                 bb_min=bb_min, inv_cell=inv_cell, cell_size=cell,
                 overflow=jnp.maximum(total - pair_capacity, 0))
 
@@ -286,8 +302,8 @@ def collect_cells(ray_o, ray_d, grid: Grid, cfg: TracerConfig):
                  & (t_in_j < t_out_j) & (t_in_j < t_exit[:, None]))
     cc = jnp.clip(cells_j, 0, g - 1)
     cid = (cc[..., 2] * g + cc[..., 1]) * g + cc[..., 0]
-    meta = grid.cell_meta[cid]                       # one wide gather
-    cnt = jnp.where(seg_valid, meta[..., 1], 0)
+    cell_start, cell_cnt = unpack_cell_meta(grid.cell_meta[cid])  # one flat gather
+    cnt = jnp.where(seg_valid, cell_cnt, 0)
 
     # pack the first max_cells non-empty segments per ray: one payload sort
     # by (empty?, traversal order) pushes the non-empty segments to the front
@@ -296,7 +312,7 @@ def collect_cells(ray_o, ray_d, grid: Grid, cfg: TracerConfig):
                            cnt.shape)
     key = jnp.where(nonempty, pos, jnp.int32(1 << 30))
     _, starts_p, counts_p, tin_p, tout_p = jax.lax.sort(
-        (key, meta[..., 0], cnt, t_in_j, t_out_j),
+        (key, cell_start, cnt, t_in_j, t_out_j),
         num_keys=1, dimension=-1, is_stable=False)
     # after the sort, slots past the last non-empty segment carry cnt == 0
     return starts_p[:, :C], counts_p[:, :C], tin_p[:, :C], tout_p[:, :C]
@@ -390,13 +406,17 @@ def _blend_candidates(ray_o, ray_d, inputs: TraceInputs, sorted_gauss, cells,
 
 
 def trace(ray_o, ray_d, grid: Grid, inputs: TraceInputs, *, cfg: TracerConfig,
-          sh_deg: int, back_culling: bool = False) -> TraceOut:
+          sh_deg: int, back_culling: bool = False,
+          cells=None) -> TraceOut:
     """Differentiable trace of [R, 3] rays. Gradients flow to every
     TraceInputs field and to ray origins/directions (≙ _GaussianTrace,
     surfel_tracer/raytracer.py:5-66) through plain JAX AD of the dense
-    blend; the cell-collection phase is index-only and detached."""
-    cells = collect_cells(jax.lax.stop_gradient(ray_o),
-                          jax.lax.stop_gradient(ray_d), grid, cfg)
+    blend; the cell-collection phase is index-only and detached (callers
+    that chunk the ray axis should precompute `cells` once outside the
+    differentiated loop — see render/ir.make_trace_fn)."""
+    if cells is None:
+        cells = collect_cells(jax.lax.stop_gradient(ray_o),
+                              jax.lax.stop_gradient(ray_d), grid, cfg)
     blend = jax.checkpoint(
         lambda ro, rd, inp: _blend_candidates(ro, rd, inp, grid.sorted_gauss,
                                               cells, cfg, sh_deg, back_culling))

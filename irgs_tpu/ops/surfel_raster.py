@@ -160,6 +160,21 @@ def _float_to_sortable_int(x):
     return jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
 
 
+def rank_against_arange(sorted_vals, capacity: int):
+    """result[j] = #{i: sorted_vals[i] <= j} for j in [0, capacity), i.e.
+    searchsorted(sorted_vals, arange(capacity), side='right') — computed as a
+    histogram + cumsum because binary-search gathers are pathologically slow
+    on this backend while small scatters are cheap."""
+    hist = jnp.zeros(capacity + 1, jnp.int32).at[
+        jnp.clip(sorted_vals, 0, capacity)].add(1, mode="drop")
+    return jnp.cumsum(hist)[:capacity]
+
+
+def counts_by_id(ids, num_ids: int):
+    """Histogram of int ids (values >= num_ids are dropped)."""
+    return jnp.zeros(num_ids, jnp.int32).at[ids].add(1, mode="drop")
+
+
 class _Binning(NamedTuple):
     sorted_gauss: jnp.ndarray   # [B] int32 gaussian id per duplicate (sorted)
     tile_start: jnp.ndarray     # [T] int32
@@ -182,7 +197,7 @@ def bin_and_sort(prep: _Prep, grid_x: int, grid_y: int, dup_capacity: int) -> _B
     offsets = cum - tiles_touched                       # exclusive
 
     slots = jnp.arange(dup_capacity, dtype=jnp.int32)
-    gauss = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
+    gauss = rank_against_arange(cum, dup_capacity)
     gauss = jnp.minimum(gauss, tiles_touched.shape[0] - 1)
     local = slots - offsets[gauss]
     rw = (prep.rect_max[gauss, 0] - prep.rect_min[gauss, 0])
@@ -195,13 +210,12 @@ def bin_and_sort(prep: _Prep, grid_x: int, grid_y: int, dup_capacity: int) -> _B
     sorted_tile, _, sorted_gauss = jax.lax.sort(
         (tile_id.astype(jnp.int32), depth_bits, gauss), num_keys=2)
 
-    tids = jnp.arange(n_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
-    tile_end = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
+    per_tile = counts_by_id(tile_id, n_tiles)
+    tile_start = jnp.cumsum(per_tile) - per_tile
     return _Binning(
         sorted_gauss=sorted_gauss,
         tile_start=tile_start,
-        tile_count=tile_end - tile_start,
+        tile_count=per_tile,
         overflow=jnp.maximum(total - dup_capacity, 0),
     )
 
@@ -214,7 +228,7 @@ def _chunk_table(binning: _Binning, chunk: int, n_chunk_cap: int, n_tiles: int):
     total_chunks = ccum[-1]
 
     cslots = jnp.arange(n_chunk_cap, dtype=jnp.int32)
-    ctile = jnp.searchsorted(ccum, cslots, side="right").astype(jnp.int32)
+    ctile = rank_against_arange(ccum, n_chunk_cap)
     ctile_c = jnp.minimum(ctile, n_tiles - 1)
     local = cslots - coff[ctile_c]
     cstart = binning.tile_start[ctile_c] + local * chunk

@@ -155,7 +155,7 @@ def rendering_equation(base_color, roughness, normals, position, viewdirs,
 
 def make_trace_fn(params, aux, grid, tracer_cfg: gt.TracerConfig,
                   cam_pos, sh_deg: int, with_materials: bool = False,
-                  ray_chunk: int = 16384):
+                  ray_chunk: int = 65536):
     """Bind Gaussian state into a trace closure with the reference's
     input prep + output normalization (GaussianModel.trace,
     scene/gaussian_model.py:733-765)."""
@@ -196,15 +196,25 @@ def make_trace_fn(params, aux, grid, tracer_cfg: gt.TracerConfig,
             ro = ro[order]
             rd = rd[order]
         # chunk the ray axis to bound the tracer's [R, K, ...] working set
-        # (≙ the reference's ray-batch chunking, __init__.py:314-322)
+        # (≙ the reference's ray-batch chunking, __init__.py:314-322).
+        # cell collection (index-only, non-diff) runs ONCE over all rays —
+        # inside the chunk loop it would be re-executed by the AD remat and
+        # its outputs carried through the scan.
         if m > ray_chunk:
             pad = (-m) % ray_chunk
             rop = jnp.pad(ro, ((0, pad), (0, 0)))
             rdp = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
+            cells = gt.collect_cells(jax.lax.stop_gradient(rop),
+                                     jax.lax.stop_gradient(rdp), grid,
+                                     tracer_cfg)
+            cells_c = jax.tree.map(
+                lambda x: x.reshape(-1, ray_chunk, *x.shape[1:]), cells)
             out = jax.lax.map(
                 lambda ab: gt.trace(ab[0], ab[1], grid, inputs,
-                                    cfg=tracer_cfg, sh_deg=sh_deg),
-                (rop.reshape(-1, ray_chunk, 3), rdp.reshape(-1, ray_chunk, 3)))
+                                    cfg=tracer_cfg, sh_deg=sh_deg,
+                                    cells=ab[2]),
+                (rop.reshape(-1, ray_chunk, 3), rdp.reshape(-1, ray_chunk, 3),
+                 cells_c))
             out = gt.TraceOut(*[
                 x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])[:m][inv_order]
                 for x in out])

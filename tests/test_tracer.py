@@ -55,14 +55,14 @@ def setup():
 def test_grid_build(setup):
     inputs, alive, grid, *_ = setup
     assert int(grid.overflow) == 0
-    assert int(jnp.sum(grid.cell_meta[:, 1])) > 0
+    assert int(jnp.sum(gt.unpack_cell_meta(grid.cell_meta)[1])) > 0
     # every alive gaussian's center cell contains it
     g = CFG.grid_res
     cc = jnp.clip(jnp.floor((inputs.means3d - grid.bb_min) * grid.inv_cell
                             ).astype(jnp.int32), 0, g - 1)
     cid = (cc[:, 2] * g + cc[:, 1]) * g + cc[:, 0]
     for i in range(8):
-        start, cnt = int(grid.cell_meta[cid[i], 0]), int(grid.cell_meta[cid[i], 1])
+        start, cnt = (int(x[cid[i]]) for x in gt.unpack_cell_meta(grid.cell_meta))
         members = np.asarray(grid.sorted_gauss[start:start + cnt])
         assert i in members
 

@@ -34,6 +34,8 @@ def main():
     parser.add_argument("--start_ply", type=str, default=None,
                         help="stage-1 geometry PLY to start from")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--vis_interval", type=int, default=500,
+                        help="save an AOV grid every N iters (0 = off)")
     args = parser.parse_args()
     cfg = apply_args(cfg, args)
     if not cfg.model.model_path:
@@ -107,6 +109,16 @@ def main():
     cam_params = [c.params() for c in cams]
     gt_dev = [jnp.asarray(g) for g in gt_images]
 
+    render_vis_j = None
+    if args.vis_interval:
+        from irgs_tpu.render.eval import EvalConfig, render_ir_eval
+        vcfg = EvalConfig(img_w=w, img_h=h, diffuse_sample_num=64,
+                          light_sample_num=0, tracer=st.tracer,
+                          white_background=cfg.model.white_background,
+                          dup_capacity=st.dup_capacity)
+        render_vis_j = jax.jit(
+            lambda p, a, g, c: render_ir_eval(p, a, g, c, vcfg))
+
     rng = np.random.RandomState(args.seed)
     order = rng.permutation(len(cams))
     t0 = time.time()
@@ -129,6 +141,21 @@ def main():
                 print(json.dumps(m), flush=True)
                 logf.write(json.dumps(m) + "\n")
                 logf.flush()
+            if render_vis_j is not None and (it % args.vis_interval == 0 or it == 1):
+                from irgs_tpu.utils.vis import save_aov_grid, save_envmap_png
+                out = render_vis_j(state.params, state.aux, grid, cam_params[0])
+                panels = {k: out[k] for k in (
+                    "render", "render_sh", "diffuse", "specular", "base_color",
+                    "roughness", "rend_alpha", "rend_normal", "surf_normal",
+                    "surf_depth", "rend_dist", "visibility", "light",
+                    "light_indirect", "light_direct", "env_only") if k in out}
+                panels["gt"] = np.asarray(gt_dev[0])
+                save_aov_grid(os.path.join(cfg.model.model_path, "vis",
+                                           f"iter_{it:06d}.png"), panels)
+                save_envmap_png(
+                    os.path.join(cfg.model.model_path, "vis",
+                                 f"env_{it:06d}.png"),
+                    jnp.exp(state.params.env))
             if it % 5000 == 0 or it == cfg.opt.iterations:
                 out_dir = os.path.join(cfg.model.model_path, "point_cloud",
                                        f"iteration_{it}")
