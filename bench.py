@@ -38,7 +38,7 @@ def main():
     cfg.pipe.diffuse_sample_num = 256
     cfg.opt.trace_num_rays = 2 ** 18
     st = s2.from_configs(cfg, img_w=img, img_h=img)
-    st = dataclasses.replace(st, dup_capacity=2 ** 20)
+    st = dataclasses.replace(st, dup_capacity=2 ** 19)
 
     grid = gt.build_grid_from_gaussians(params, aux, st.tracer)
     state, optimizer = s2.init_state(params, aux, cfg.opt)
@@ -52,6 +52,16 @@ def main():
         return s2.stage2_step(state, grid, cam_params[i % len(cams)],
                               gts[i % len(cams)], None, key,
                               st=st, optimizer=optimizer)
+
+    # honesty check: the static duplicate capacity must cover this workload
+    from irgs_tpu.ops import surfel_raster as sr
+    probe = sr.rasterize(
+        params.xyz, params.get_scaling(), params.rotation,
+        params.get_opacity()[:, 0], params.get_features(),
+        jnp.zeros((params.n_capacity, 1)), jnp.zeros((params.n_capacity, 2)),
+        cam_params[0], jnp.zeros(3), img_w=img, img_h=img,
+        active_sh_degree=3, dup_capacity=st.dup_capacity, alive=aux.alive)
+    assert int(probe.overflow) == 0, f"dup overflow {int(probe.overflow)}"
 
     # warmup / compile
     state, _ = step(state, 0, key)

@@ -56,11 +56,11 @@ class PipelineConfig:
     transmittance_min: float = 0.03
     alpha_min: float = 1.0 / 255.0
     t_scene_max: float = 100.0
-    tracer_grid_res: int = 64
+    tracer_grid_res: int = 48
     tracer_max_cells: int = 12
     tracer_max_hits: int = 48
     tracer_hit_budget: int = 16
-    tracer_max_crossings: int = 48
+    tracer_max_crossings: int = 32
     # rendering-equation eval chunk (reference: 2**20 point-samples,
     # gaussian_renderer/__init__.py:314)
     eval_chunk_point_samples: int = 2 ** 20

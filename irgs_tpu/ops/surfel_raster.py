@@ -300,19 +300,28 @@ def _seg_excl_cumsum(x, seg_first_idx, seg_ids):
 @functools.partial(
     jax.jit,
     static_argnames=("img_w", "img_h", "active_sh_degree", "dup_capacity",
-                     "chunk", "block", "with_aux"),
+                     "chunk", "block", "with_aux", "backend"),
 )
 def rasterize(means3d, scales, quats, opacities, shs, features,
               means2d_offset, cam: CameraParams, bg_color,
               *, img_w: int, img_h: int, active_sh_degree: int,
-              dup_capacity: int = 2 ** 21, chunk: int = 128, block: int = 16,
-              alive=None, colors_precomp=None, with_aux: bool = True) -> RasterOut:
+              dup_capacity: int = 2 ** 21, chunk: int = 128, block: int = 64,
+              alive=None, colors_precomp=None, with_aux: bool = True,
+              backend: str = "xla") -> RasterOut:
     """Differentiable surfel rasterization (public API).
 
     ≙ GaussianRasterizer.__call__ (diff_surfel_rasterization/__init__.py:182+)
     with the reference's output set: color, generic feature image, and the
     allmap auxiliaries (depth/alpha/normal/second-moment/distortion).
+    backend="pallas" runs the fused per-tile blend kernel
+    (ops/raster_pallas.py); "xla" the two-pass chunked formulation.
     """
+    if backend == "pallas":
+        return _rasterize_pallas(
+            means3d, scales, quats, opacities, shs, features, means2d_offset,
+            cam, bg_color, img_w=img_w, img_h=img_h,
+            active_sh_degree=active_sh_degree, dup_capacity=dup_capacity,
+            alive=alive, colors_precomp=colors_precomp)
     grid_x = (img_w + TILE - 1) // TILE
     grid_y = (img_h + TILE - 1) // TILE
     n_tiles = grid_x * grid_y
@@ -443,6 +452,86 @@ def rasterize(means3d, scales, quats, opacities, shs, features,
         color=color, feature=feature, alpha=alpha_img,
         depth=depth_img[..., 0], depth2=depth_img[..., 1],
         normal=normal, distortion=dist_img,
+        radii=prep.radius.astype(jnp.int32),
+        overflow=binning.overflow,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pallas backend: fused per-tile blend kernel (ops/raster_pallas.py)
+# ---------------------------------------------------------------------------
+
+def _rasterize_pallas(means3d, scales, quats, opacities, shs, features,
+                      means2d_offset, cam: CameraParams, bg_color,
+                      *, img_w: int, img_h: int, active_sh_degree: int,
+                      dup_capacity: int, alive=None, colors_precomp=None) -> RasterOut:
+    from . import raster_pallas as rp
+
+    grid_x = (img_w + TILE - 1) // TILE
+    grid_y = (img_h + TILE - 1) // TILE
+    n_tiles = grid_x * grid_y
+    S = features.shape[-1]
+    K = rp.K
+
+    prep = preprocess(means3d, scales, quats, opacities, shs, cam,
+                      img_w, img_h, active_sh_degree,
+                      means2d_offset=means2d_offset, alive=alive,
+                      colors_precomp=colors_precomp)
+    binning = bin_and_sort(prep, grid_x, grid_y, dup_capacity)
+
+    # K-aligned per-tile segments: every gradient DMA window then belongs to
+    # exactly one tile (the Pallas backward writes whole K-row chunks)
+    aligned = ((binning.tile_count + K - 1) // K) * K
+    acum = jnp.cumsum(aligned)
+    astart = acum - aligned
+    b_pad = dup_capacity + n_tiles * K
+    q = jnp.arange(b_pad, dtype=jnp.int32)
+    t_of_q = jnp.minimum(rank_against_arange(acum, b_pad), n_tiles - 1)
+    local = q - astart[t_of_q]
+    src = jnp.minimum(binning.tile_start[t_of_q] + local,
+                      binning.sorted_gauss.shape[0] - 1)
+    valid = local < binning.tile_count[t_of_q]
+    padded_gauss = binning.sorted_gauss[src]
+
+    # per-gaussian splat table [N, F]
+    n = means3d.shape[0]
+    na = rp.n_attr(S)
+    f_width = rp.slab_width(S)
+    table = jnp.concatenate([
+        prep.M.reshape(n, 9),               # Tu, Tv, Tw rows
+        prep.center,                        # 2
+        prep.opacity[:, None],              # 1
+        prep.rgb,                           # 3
+        features,                           # S
+        prep.normal,                        # 3
+    ], axis=-1)
+    table = jnp.pad(table, ((0, 0), (0, f_width - table.shape[-1])))
+    # transposed [F, B_pad]: the kernel DMAs [F, K] slices (lane-aligned)
+    splat = (table[padded_gauss] * valid[:, None].astype(table.dtype)).T
+
+    tile_out = rp.blend_tiles(splat, astart, aligned, grid_x, n_tiles, S)
+
+    def to_image(x):
+        c = x.shape[-1]
+        img = x.reshape(grid_y, grid_x, TILE, TILE, c)
+        img = img.transpose(0, 2, 1, 3, 4).reshape(grid_y * TILE, grid_x * TILE, c)
+        return img[:img_h, :img_w]
+
+    co = rp.c_out(S)
+    img = to_image(tile_out.reshape(n_tiles, TILE_PIX, co))
+    color = img[..., 0:3]
+    feature = img[..., 3:3 + S]
+    normal = img[..., 3 + S:6 + S]
+    depth = img[..., na]
+    depth2 = img[..., na + 1]
+    alpha_img = img[..., na + 2]
+    dist = img[..., na + 5]
+    t_final = img[..., co - 1]
+    color = color + t_final[..., None] * bg_color[None, None, :]
+
+    return RasterOut(
+        color=color, feature=feature, alpha=alpha_img,
+        depth=depth, depth2=depth2, normal=normal, distortion=dist,
         radii=prep.radius.astype(jnp.int32),
         overflow=binning.overflow,
     )

@@ -209,12 +209,28 @@ def make_trace_fn(params, aux, grid, tracer_cfg: gt.TracerConfig,
                                      tracer_cfg)
             cells_c = jax.tree.map(
                 lambda x: x.reshape(-1, ray_chunk, *x.shape[1:]), cells)
-            out = jax.lax.map(
-                lambda ab: gt.trace(ab[0], ab[1], grid, inputs,
-                                    cfg=tracer_cfg, sh_deg=sh_deg,
-                                    cells=ab[2]),
-                (rop.reshape(-1, ray_chunk, 3), rdp.reshape(-1, ray_chunk, 3),
-                 cells_c))
+            rop_c = rop.reshape(-1, ray_chunk, 3)
+            rdp_c = rdp.reshape(-1, ray_chunk, 3)
+            n_chunks = rop_c.shape[0]
+
+            def one(i_or_slice):
+                ab = jax.tree.map(lambda x: x[i_or_slice],
+                                  (rop_c, rdp_c, cells_c))
+                return gt.trace(ab[0], ab[1], grid, inputs, cfg=tracer_cfg,
+                                sh_deg=sh_deg, cells=ab[2])
+
+            if n_chunks <= 8:
+                # unrolled: a lax.map would carry the [N,...] gradient
+                # accumulators through every scan iteration (25+ MB copies
+                # per chunk in the backward pass)
+                outs = [one(i) for i in range(n_chunks)]
+                out = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+            else:
+                out = jax.lax.map(
+                    lambda ab: gt.trace(ab[0], ab[1], grid, inputs,
+                                        cfg=tracer_cfg, sh_deg=sh_deg,
+                                        cells=ab[2]),
+                    (rop_c, rdp_c, cells_c))
             out = gt.TraceOut(*[
                 x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])[:m][inv_order]
                 for x in out])

@@ -69,15 +69,26 @@ class Stage2Static:
     lambda_light_smooth: float = 0.0
     normal_loss_start: int = 1000
     dist_loss_start: int = 1000
+    raster_backend: str = "xla"
 
     @property
     def num_shaded_pixels(self) -> int:
         return self.trace_num_rays // (self.diffuse_sample_num + self.light_sample_num)
 
 
+def default_raster_backend() -> str:
+    """Pallas kernels need real TPU hardware; the CPU test mesh falls back to
+    the XLA formulation (identical semantics, verified by parity tests)."""
+    try:
+        return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+    except Exception:
+        return "xla"
+
+
 def from_configs(cfg, img_w: int, img_h: int, active_sh_degree: int = 3) -> Stage2Static:
     p, o, m = cfg.pipe, cfg.opt, cfg.model
     return Stage2Static(
+        raster_backend=default_raster_backend(),
         img_w=img_w, img_h=img_h, active_sh_degree=active_sh_degree,
         diffuse_sample_num=p.diffuse_sample_num, light_sample_num=p.light_sample_num,
         trace_num_rays=o.trace_num_rays, light_t_min=p.light_t_min,
@@ -112,7 +123,8 @@ def stage2_forward_loss(params: GaussianParams, aux: GaussianAux, grid: gt.Grid,
         params.get_opacity()[:, 0], params.get_features(), features,
         jnp.zeros((params.n_capacity, 2)), cam, jnp.zeros(3),
         img_w=st.img_w, img_h=st.img_h, active_sh_degree=st.active_sh_degree,
-        dup_capacity=st.dup_capacity, alive=aux.alive)
+        dup_capacity=st.dup_capacity, alive=aux.alive,
+        backend=st.raster_backend)
 
     maps = ir.derive_geometry_maps(raster, cam, st.img_w, st.img_h)
     alpha = maps["alpha"]                                           # [H, W, 1]
