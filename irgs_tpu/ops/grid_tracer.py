@@ -390,17 +390,10 @@ def _blend_candidates(ray_o, ray_d, inputs: TraceInputs, sorted_gauss, cells,
     w = jnp.where(T_in > cfg.transmittance_min, w, 0.0)
 
     basis = _sh_basis(sh_deg, ray_d)                      # [R, C_sh]
-    # one packed gather for SH + features: gathers here are per-row
-    # latency-bound, so fewer/wider rows win
-    S_feat = inputs.features.shape[-1]
-    shfeat = jnp.concatenate(
-        [inputs.shs[:, :n_coeff].reshape(inputs.shs.shape[0], n_coeff * 3),
-         inputs.features], axis=-1)[gs_s]                 # [R, kb, 3C+S]
-    sh_g = shfeat[..., :n_coeff * 3].reshape(
-        shfeat.shape[0], shfeat.shape[1], n_coeff, 3)
+    sh_g = inputs.shs[:, :n_coeff][gs_s]                  # [R, kb, C_sh, 3]
     color = jnp.maximum(
         jnp.einsum("rc,rhcd->rhd", basis, sh_g) + 0.5, 0.0)
-    feat = shfeat[..., n_coeff * 3:]
+    feat = inputs.features[gs_s]
     n_s = jnp.stack([nfx, nfy, nfz], axis=-1)
 
     return TraceOut(

@@ -123,7 +123,13 @@ def create_from_pcd(points: np.ndarray, colors: np.ndarray, n_capacity: int,
     k = (max_sh_degree + 1) ** 2
 
     if knn_dist2 is None:
-        knn_dist2 = mean_knn_dist2(jnp.asarray(points, jnp.float32))
+        if n > 50_000:
+            # large clouds: Morton-window native path (≙ simple-knn's
+            # approach); exact chunked-MXU path otherwise
+            from ..utils.native import mean_knn_dist2_native
+            knn_dist2 = mean_knn_dist2_native(np.asarray(points, np.float32))
+        if knn_dist2 is None:
+            knn_dist2 = mean_knn_dist2(jnp.asarray(points, jnp.float32))
     dist2 = np.maximum(np.asarray(knn_dist2), 1e-7)
     scales = np.repeat(np.log(np.sqrt(dist2))[:, None], 2, axis=1)
 
