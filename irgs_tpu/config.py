@@ -64,6 +64,10 @@ class PipelineConfig:
     # rendering-equation eval chunk (reference: 2**20 point-samples,
     # gaussian_renderer/__init__.py:314)
     eval_chunk_point_samples: int = 2 ** 20
+    # rasterizer duplicate-pair capacity (static shape of the tile binning
+    # sort; raise if RasterOut.overflow is ever nonzero). 0 = stage default
+    # (2^20 stage 1, 2^21 stage 2)
+    dup_capacity: int = 0
 
 
 @dataclass
@@ -195,6 +199,14 @@ def _apply_flat_group(group, d: dict) -> None:
             setattr(group, k, v)
 
 
+# one-letter shorthands, matching the reference's `_name` -> -n convention
+# (arguments/__init__.py:24-36: _model_path -> -m, _source_path -> -s, ...)
+_SHORTHANDS = {
+    "model_path": "m", "source_path": "s", "resolution": "r",
+    "images": "i", "white_background": "w",
+}
+
+
 def add_config_args(parser: argparse.ArgumentParser, cfg: Config) -> None:
     """Register every config field as a --flag (booleans as store_true)."""
     seen = set()
@@ -204,10 +216,13 @@ def add_config_args(parser: argparse.ArgumentParser, cfg: Config) -> None:
                 continue
             seen.add(f.name)
             default = getattr(group, f.name)
+            flags = [f"--{f.name}"]
+            if f.name in _SHORTHANDS:
+                flags.append(f"-{_SHORTHANDS[f.name]}")
             if isinstance(default, bool):
-                parser.add_argument(f"--{f.name}", action="store_true", default=None)
+                parser.add_argument(*flags, action="store_true", default=None)
             else:
-                parser.add_argument(f"--{f.name}", type=type(default), default=None)
+                parser.add_argument(*flags, type=type(default), default=None)
 
 
 def apply_args(cfg: Config, args: argparse.Namespace) -> Config:

@@ -106,6 +106,47 @@ def render_volume(params, aux, cam: CameraParams, bg, env2,
     return out
 
 
+def render_surfel2(params, aux, cam: CameraParams, bg, env, *, img_w, img_h,
+                   active_sh_degree, dup_capacity=2 ** 21, depth_ratio=0.0,
+                   means2d_offset=None):
+    """Simplified metallic workflow (≙ render_surfel2, ref_gaussian.py:346-496
+    + get_specular_color_surfel2, refl_utils.py): specular is a direct envmap
+    query at the pixel reflection direction (no split-sum, no visibility);
+    final = (1-metallic)·sh_color + metallic·specular, in sRGB."""
+    from ..utils.math3d import rgb_to_srgb
+
+    n = params.n_capacity
+    features = jnp.concatenate([params.get_metallic(), params.get_roughness(),
+                                params.get_base_color()], -1)
+    off = means2d_offset if means2d_offset is not None else jnp.zeros((n, 2))
+    raster = sr.rasterize(
+        params.xyz, params.get_scaling(), params.rotation,
+        params.get_opacity()[:, 0], params.get_features(), features,
+        off, cam, jnp.zeros(3),
+        img_w=img_w, img_h=img_h, active_sh_degree=active_sh_degree,
+        dup_capacity=dup_capacity, alive=aux.alive)
+    maps = ir.derive_geometry_maps(raster, cam, img_w, img_h, depth_ratio)
+    base_color = raster.color
+    metallic = raster.feature[..., 0:1]
+    roughness = raster.feature[..., 1:2]
+    albedo = raster.feature[..., 2:5]
+    normal_map = maps["normal_map"]
+
+    rays_d = maps["rays_d"]
+    w_o_px = -rays_d
+    ndotv = jnp.sum(normal_map * w_o_px, -1, keepdims=True)
+    rays_refl = safe_normalize(2.0 * ndotv * normal_map - w_o_px)
+    specular = env.query(rays_refl, mode="pure_env")
+
+    final = rgb_to_srgb((1 - metallic) * base_color + specular * metallic)
+    final = final + bg[None, None] * (1 - maps["alpha"])
+    return dict(render=final, raster=raster,
+                metallic_map=metallic, roughness_map=roughness,
+                base_color_map=albedo,
+                diffuse_map=(1 - metallic) * base_color,
+                specular_map=specular * metallic, **maps)
+
+
 def render_surfel(params, aux, cam: CameraParams, bg, env1,
                   fg_lut, *, img_w, img_h, active_sh_degree,
                   dup_capacity=2 ** 21, depth_ratio=0.0, vol=None,

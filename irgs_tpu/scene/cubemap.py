@@ -226,8 +226,12 @@ def build_specular_mips(base_cube, min_res: int = 16,
     specular = []
     for i, c in enumerate(chain[:-1]):
         rough = (i / max(n - 2, 1)) * (max_roughness - min_roughness) + min_roughness
-        specular.append(specular_cubemap(c, rough, cutoff))
-    specular.append(specular_cubemap(chain[-1], 1.0, cutoff))
+        # sample count scales with lobe width: at low roughness the GGX lobe
+        # is nearly a delta, so a handful of Hammersley samples suffices;
+        # this runs inside AD every training iteration, so taps are the cost
+        samples = int(min(256, max(16, 256 * rough * rough)))
+        specular.append(specular_cubemap(c, rough, cutoff, samples=samples))
+    specular.append(specular_cubemap(chain[-1], 1.0, cutoff, samples=256))
     return specular, diffuse
 
 

@@ -150,6 +150,74 @@ def read_synthetic4relight_scene(path, white_background, eval_split) -> SceneInf
                      light_rotate=True, ply_path=ply_path)
 
 
+def read_stanford_orb_scene(path, white_background, eval_split,
+                            benchmark_size: int = 512,
+                            num_init_points: int = 100_000,
+                            seed: int = 0) -> SceneInfo:
+    """≙ readStanfordORBInfo + readCamerasFromTransforms2
+    (dataset_readers.py:476-573): per-frame PNG/EXR images with separate
+    `{train,test}_mask` alpha images, resized to `benchmark_size` and
+    composited onto the background color."""
+    import cv2
+
+    def read_split(transformsfile):
+        with open(os.path.join(path, transformsfile)) as f:
+            contents = json.load(f)
+        fovx = contents["camera_angle_x"]
+        cams = []
+        for uid, frame in enumerate(contents["frames"]):
+            base = frame["file_path"]
+            image_path = next(
+                (os.path.join(path, base + e) for e in (".png", ".exr")
+                 if os.path.exists(os.path.join(path, base + e))), None)
+            mask_base = base.replace("test", "test_mask").replace("train", "train_mask")
+            mask_path = next(
+                (os.path.join(path, mask_base + e) for e in (".png", ".exr")
+                 if os.path.exists(os.path.join(path, mask_base + e))), None)
+            if image_path is None:
+                raise FileNotFoundError(f"{base}.png/.exr not found under {path}")
+
+            c2w = np.array(frame["transform_matrix"], dtype=np.float64)
+            c2w[:3, 1:3] *= -1
+            w2c = np.linalg.inv(c2w)
+            R = w2c[:3, :3].T
+            T = w2c[:3, 3]
+
+            im = _load_image_any(image_path)[..., :3]
+            mask = _load_image_any(mask_path) if mask_path else np.ones(im.shape[:2], np.float32)
+            if mask.ndim == 3:
+                mask = mask[..., 0]
+            sz = (benchmark_size, benchmark_size)
+            im = cv2.resize(im, sz, interpolation=cv2.INTER_AREA)
+            mask = cv2.resize(mask.astype(np.float32), sz, interpolation=cv2.INTER_AREA)
+            bg = np.ones(3) if white_background else np.zeros(3)
+            im = im * mask[..., None] + bg * (1 - mask[..., None])
+
+            h, w = im.shape[:2]
+            fovy = focal2fov(fov2focal(fovx, w), h)
+            cams.append(Camera(uid, R, T, fovx=fovx, fovy=fovy,
+                               image=im.astype(np.float32), mask=mask > 0.5,
+                               image_name=os.path.basename(base),
+                               image_path=image_path))
+        return cams
+
+    train = read_split("transforms_train.json")
+    test = read_split("transforms_test.json") if eval_split else []
+    translate, radius = _nerfpp_norm(train)
+    ply_path = os.path.join(path, "points3d.ply")
+    if os.path.exists(ply_path):
+        from ..utils.ply import read_ply
+        v = read_ply(ply_path)["vertex"].data
+        points = np.stack([v["x"], v["y"], v["z"]], axis=1).astype(np.float32)
+        colors = np.full_like(points, 0.5)
+    else:
+        rng = np.random.RandomState(seed)
+        points = (rng.random((num_init_points, 3)) * 2.6 - 1.3).astype(np.float32)
+        colors = np.full_like(points, 0.5)
+    return SceneInfo(train, test, points, colors, translate, radius,
+                     light_rotate=False, ply_path=ply_path)
+
+
 def load_scene(source_path: str, white_background: bool = False,
                eval_split: bool = True) -> SceneInfo:
     """Path-sniffing dispatch (≙ Scene.__init__, scene/__init__.py:49-68)."""
@@ -157,6 +225,9 @@ def load_scene(source_path: str, white_background: bool = False,
         if "Synthetic4Relight" in source_path:
             return read_synthetic4relight_scene(source_path, white_background,
                                                 eval_split)
+        if "StanfordORB" in source_path or "stanford_orb" in source_path:
+            return read_stanford_orb_scene(source_path, white_background,
+                                           eval_split)
         info = read_blender_scene(source_path, white_background, eval_split)
         if "TensoIR" in source_path:
             info.light_rotate = True

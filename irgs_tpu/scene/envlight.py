@@ -25,6 +25,9 @@ def activate(env_raw, activation: str):
         return jnp.exp(env_raw)
     if activation == "sigmoid":
         return jax.nn.sigmoid(env_raw)
+    if activation == "softplus":
+        # ≙ DirectLightMap (scene/light.py:379-406): softplus lat-long grid
+        return jax.nn.softplus(env_raw)
     if activation == "none":
         return env_raw
     raise NotImplementedError(activation)
@@ -36,9 +39,17 @@ def init_env(resolution: int, init_value: float, activation: str = "exp"):
         raw = math.log(init_value)
     elif activation == "sigmoid":
         raw = math.log(init_value / (1 - init_value))
+    elif activation == "softplus":
+        raw = math.log(math.expm1(max(init_value, 1e-6)))
     else:
         raw = init_value
     return jnp.full((h, w, 3), raw, jnp.float32)
+
+
+def init_direct_light(key, max_res: int = 16, init_value: float = 0.5):
+    """≙ DirectLightMap.__init__ (light.py:381-387): uniform random
+    [H=max_res, W=2·max_res, 3] raw grid, softplus activation."""
+    return init_value * jax.random.uniform(key, (max_res, max_res * 2, 3))
 
 
 def dirs_to_uv(dirs):

@@ -93,7 +93,8 @@ def from_configs(cfg, img_w: int, img_h: int, active_sh_degree: int = 3) -> Stag
         diffuse_sample_num=p.diffuse_sample_num, light_sample_num=p.light_sample_num,
         trace_num_rays=o.trace_num_rays, light_t_min=p.light_t_min,
         wo_indirect=p.wo_indirect, detach_indirect=p.detach_indirect,
-        white_background=m.white_background, dup_capacity=2 ** 21,
+        white_background=m.white_background,
+        dup_capacity=p.dup_capacity or 2 ** 21,
         tracer=gt.TracerConfig(
             grid_res=p.tracer_grid_res, max_cells=p.tracer_max_cells,
             max_hits=p.tracer_max_hits, hit_budget=p.tracer_hit_budget,

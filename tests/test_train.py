@@ -144,6 +144,31 @@ def toy_env():
     return jnp.asarray(make_blob_env(16, 32))
 
 
+def test_render_surfel2_smoke(setup):
+    params, aux, cams, grid, cfg, st = setup
+    from irgs_tpu.render import ref_gaussian as rr
+    from irgs_tpu.scene import ref_gaussians as rgs
+
+    env = rgs.EnvMips.build(jnp.zeros((6, 16, 16, 3)))
+    out = rr.render_surfel2(params, aux, cams[0].params(), jnp.zeros(3),
+                            env, img_w=st.img_w, img_h=st.img_h,
+                            active_sh_degree=3, dup_capacity=st.dup_capacity)
+    for k in ("render", "metallic_map", "roughness_map", "base_color_map"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
+    assert out["render"].shape == (st.img_h, st.img_w, 3)
+
+
+def test_softplus_direct_light():
+    from irgs_tpu.scene import envlight
+
+    raw = envlight.init_direct_light(jax.random.PRNGKey(0), max_res=8)
+    assert raw.shape == (8, 16, 3)
+    dirs = jnp.array([[0.0, 0, 1.0], [1.0, 0, 0]])
+    vals = envlight.query_env(raw, dirs, activation="softplus")
+    assert vals.shape == (2, 3)
+    assert (np.asarray(vals) > 0).all()   # softplus is strictly positive
+
+
 def test_checkpoint_roundtrip(tmp_path, setup):
     params, aux, cams, grid, cfg, st = setup
     from irgs_tpu.utils.checkpoint import load_checkpoint, save_checkpoint

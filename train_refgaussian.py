@@ -46,6 +46,10 @@ def main():
     if args.toy:
         from irgs_tpu.render.eval import EvalConfig  # noqa: F401
         from irgs_tpu.scene import toy
+        # toy scene is tiny: shrink the static capacities or every step pays
+        # full-scale preprocess/sort cost
+        cfg.model.max_gaussians = min(cfg.model.max_gaussians, 2 ** 15)
+        cfg.pipe.dup_capacity = min(cfg.pipe.dup_capacity or 2 ** 18, 2 ** 18)
         gt_params, gt_aux = toy.make_sphere_scene(n_surface=4096, n_capacity=8192)
         cams = toy.make_ring_cameras(24, width=128, height_px=128)
         # GT images: plain 2DGS render of the GT scene
@@ -86,7 +90,7 @@ def main():
             img_w=w, img_h=h, active_sh_degree=sh_deg,
             white_background=cfg.model.white_background, phase=phase,
             use_indirect=use_indirect,
-            dup_capacity=2 ** 20,
+            dup_capacity=cfg.pipe.dup_capacity or 2 ** 20,
             lambda_dssim=opt.lambda_dssim, lambda_dist=opt.lambda_dist,
             lambda_normal_render_depth=opt.lambda_normal_render_depth,
             lambda_normal_smooth=opt.lambda_normal_smooth,
@@ -160,7 +164,7 @@ def main():
                                       img_w=w, img_h=h, active_sh_degree=sh_deg,
                                       mesh_res=cfg.opt.mesh_res if cfg.opt.mesh_res <= 256 else 256,
                                       cameras_extent=cameras_extent,
-                                      dup_capacity=2 ** 20)
+                                      dup_capacity=cfg.pipe.dup_capacity or 2 ** 20)
 
         if it % 50 == 0 or it == 1:
             m = {k: float(v) for k, v in metrics.items()}
