@@ -322,12 +322,29 @@ def collect_cells(ray_o, ray_d, grid: Grid, cfg: TracerConfig):
 # phase 2: dense candidate blend (differentiable by JAX AD)
 # ---------------------------------------------------------------------------
 
-def _blend_candidates(ray_o, ray_d, inputs: TraceInputs, sorted_gauss, cells,
-                      cfg: TracerConfig, sh_deg: int, back_culling: bool):
+def _pack_geom(inputs: TraceInputs):
+    # one wide 13-float gather instead of five narrow ones: gathers on this
+    # backend are per-row latency-bound, so row width is nearly free
+    return jnp.concatenate(
+        [inputs.means3d, inputs.opacity[:, None], inputs.ru, inputs.rv,
+         inputs.normals], axis=-1)                       # [N, 13]
+
+
+def select_hits(ray_o, ray_d, sorted_gauss, cells, geom, cfg: TracerConfig,
+                back_culling: bool):
+    """Index-only hit selection: expand recorded cells into candidates,
+    evaluate acceptance, depth-sort, keep the nearest `hit_budget` hits.
+    Returns (gs_s [R, kb] gaussian ids in depth order, valid_s [R, kb]).
+
+    Non-differentiable by design — the backward pass replays a FIXED hit
+    list, exactly like the CUDA backward raygen re-traverses the forward's
+    hits (gaussiantrace_backward.cu:11-171). Callers run this once outside
+    the AD region (analogous to collect_cells), so the expensive 48-wide
+    candidate expansion, gather, and sort never appear in the backward.
+    """
     starts, counts, tin, tout = cells
     R, C = starts.shape
     H = cfg.max_hits
-    n_coeff = (sh_deg + 1) ** 2
 
     cum = jnp.cumsum(counts, axis=-1)                     # [R, C]
     excl = cum - counts
@@ -352,39 +369,43 @@ def _blend_candidates(ray_o, ray_d, inputs: TraceInputs, sorted_gauss, cells,
     t_in_h = take_rc(tin)
     t_out_h = take_rc(tout)
 
-    # one wide 13-float gather instead of five narrow ones: gathers on this
-    # backend are per-row latency-bound, so row width is nearly free
-    geom = jnp.concatenate(
-        [inputs.means3d, inputs.opacity[:, None], inputs.ru, inputs.rv,
-         inputs.normals], axis=-1)                       # [N, 13]
     geom_g = geom[gs]                                     # [R, H, 13]
-    alpha, n_flip, d = _hit_geom(
+    alpha, _, d = _hit_geom(
         geom_g[..., 0:3], geom_g[..., 3], geom_g[..., 4:7], geom_g[..., 7:10],
         geom_g[..., 10:13], ray_o[:, None], ray_d[:, None])
     accept = (valid & (alpha >= cfg.alpha_min)
               & (d >= jnp.maximum(t_in_h, 1e-6)) & (d < t_out_h))
     if back_culling:
         accept = accept & (jnp.sum(ray_d[:, None] * geom_g[..., 10:13], -1) < 0)
-    alpha = jnp.where(accept, alpha, 0.0)
 
     # depth sort: one multi-operand lax.sort carrying payloads (fast native
-    # TPU sort) instead of argsort + take_along_axis; the flipped normal
-    # rides along as three scalar payloads to avoid a post-sort gather
+    # TPU sort) instead of argsort + take_along_axis
     d_key = jnp.where(accept, d, INF)
-    d_key = jax.lax.stop_gradient(d_key)
-    _, alpha_s, gs_s, d_s, nfx, nfy, nfz = jax.lax.sort(
-        (d_key, alpha, gs, d, n_flip[..., 0], n_flip[..., 1], n_flip[..., 2]),
+    _, gs_s, acc_s = jax.lax.sort(
+        (d_key, gs, accept.astype(jnp.int32)),
         num_keys=1, dimension=-1, is_stable=False)
     # k-buffer: keep only the nearest hit_budget accepted hits (rejected
     # candidates sorted to the end); T saturates within ~16 hits anyway
     kb = min(cfg.hit_budget, H)
-    alpha_s = alpha_s[:, :kb]
-    gs_s = gs_s[:, :kb]
-    d_s = d_s[:, :kb]
-    nfx, nfy, nfz = nfx[:, :kb], nfy[:, :kb], nfz[:, :kb]
-    lg = jnp.log1p(-alpha_s)
+    return gs_s[:, :kb], acc_s[:, :kb] > 0
+
+
+def blend_hits(ray_o, ray_d, inputs: TraceInputs, gs_s, valid_s,
+               cfg: TracerConfig, sh_deg: int):
+    """Differentiable front-to-back blend of a pre-selected, depth-ordered
+    hit list (≙ the per-hit accumulation of gaussiantrace_forward.cu:61-97;
+    its backward — deterministic scatter-adds at k-buffer width — comes from
+    plain JAX AD). Gradients flow to every TraceInputs field and ray o/d."""
+    n_coeff = (sh_deg + 1) ** 2
+    geom_g = _pack_geom(inputs)[gs_s]                     # [R, kb, 13]
+    alpha, n_flip, d = _hit_geom(
+        geom_g[..., 0:3], geom_g[..., 3], geom_g[..., 4:7], geom_g[..., 7:10],
+        geom_g[..., 10:13], ray_o[:, None], ray_d[:, None])
+    alpha = jnp.where(valid_s, alpha, 0.0)
+
+    lg = jnp.log1p(-alpha)
     T_in = jnp.exp(jnp.cumsum(lg, -1) - lg)
-    w = alpha_s * T_in
+    w = alpha * T_in
     # CUDA stops accumulating once T < transmittance_min
     # (gaussiantrace_forward.cu:95-97)
     w = jnp.where(T_in > cfg.transmittance_min, w, 0.0)
@@ -394,33 +415,36 @@ def _blend_candidates(ray_o, ray_d, inputs: TraceInputs, sorted_gauss, cells,
     color = jnp.maximum(
         jnp.einsum("rc,rhcd->rhd", basis, sh_g) + 0.5, 0.0)
     feat = inputs.features[gs_s]
-    n_s = jnp.stack([nfx, nfy, nfz], axis=-1)
 
     return TraceOut(
         color=jnp.einsum("rh,rhd->rd", w, color),
-        normal=jnp.einsum("rh,rhd->rd", w, n_s),
+        normal=jnp.einsum("rh,rhd->rd", w, n_flip),
         feature=jnp.einsum("rh,rhs->rs", w, feat),
-        depth=jnp.sum(w * d_s, -1),
+        depth=jnp.sum(w * d, -1),
         alpha=jnp.sum(w, -1),
     )
 
 
 def trace(ray_o, ray_d, grid: Grid, inputs: TraceInputs, *, cfg: TracerConfig,
           sh_deg: int, back_culling: bool = False,
-          cells=None) -> TraceOut:
+          cells=None, hits=None) -> TraceOut:
     """Differentiable trace of [R, 3] rays. Gradients flow to every
     TraceInputs field and to ray origins/directions (≙ _GaussianTrace,
     surfel_tracer/raytracer.py:5-66) through plain JAX AD of the dense
-    blend; the cell-collection phase is index-only and detached (callers
-    that chunk the ray axis should precompute `cells` once outside the
-    differentiated loop — see render/ir.make_trace_fn)."""
-    if cells is None:
-        cells = collect_cells(jax.lax.stop_gradient(ray_o),
-                              jax.lax.stop_gradient(ray_d), grid, cfg)
-    blend = jax.checkpoint(
-        lambda ro, rd, inp: _blend_candidates(ro, rd, inp, grid.sorted_gauss,
-                                              cells, cfg, sh_deg, back_culling))
-    return blend(ray_o, ray_d, inputs)
+    k-buffer blend. Cell collection and hit selection are index-only and
+    detached; callers that chunk the ray axis should precompute `cells`
+    (and optionally `hits` = (gs_s, valid_s) from select_hits) once outside
+    the differentiated loop — see render/ir.make_trace_fn."""
+    if hits is None:
+        ro = jax.lax.stop_gradient(ray_o)
+        rd = jax.lax.stop_gradient(ray_d)
+        if cells is None:
+            cells = collect_cells(ro, rd, grid, cfg)
+        geom = jax.lax.stop_gradient(_pack_geom(inputs))
+        hits = select_hits(ro, rd, grid.sorted_gauss, cells, geom, cfg,
+                           back_culling)
+    gs_s, valid_s = hits
+    return blend_hits(ray_o, ray_d, inputs, gs_s, valid_s, cfg, sh_deg)
 
 
 def trace_forward_only(ray_o, ray_d, grid, inputs, *, cfg: TracerConfig,

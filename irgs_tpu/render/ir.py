@@ -197,27 +197,49 @@ def make_trace_fn(params, aux, grid, tracer_cfg: gt.TracerConfig,
             rd = rd[order]
         # chunk the ray axis to bound the tracer's [R, K, ...] working set
         # (≙ the reference's ray-batch chunking, __init__.py:314-322).
-        # cell collection (index-only, non-diff) runs ONCE over all rays —
-        # inside the chunk loop it would be re-executed by the AD remat and
-        # its outputs carried through the scan.
+        # cell collection AND hit selection (index-only, non-diff) run ONCE
+        # over all rays — inside the chunk loop they would be re-executed by
+        # the AD remat and their outputs carried through the scan. Only the
+        # slim k-buffer blend is differentiated.
         if m > ray_chunk:
             pad = (-m) % ray_chunk
             rop = jnp.pad(ro, ((0, pad), (0, 0)))
             rdp = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
-            cells = gt.collect_cells(jax.lax.stop_gradient(rop),
-                                     jax.lax.stop_gradient(rdp), grid,
-                                     tracer_cfg)
-            cells_c = jax.tree.map(
-                lambda x: x.reshape(-1, ray_chunk, *x.shape[1:]), cells)
+            ro_sg = jax.lax.stop_gradient(rop)
+            rd_sg = jax.lax.stop_gradient(rdp)
+            cells = gt.collect_cells(ro_sg, rd_sg, grid, tracer_cfg)
+            geom = jax.lax.stop_gradient(gt._pack_geom(inputs))
             rop_c = rop.reshape(-1, ray_chunk, 3)
             rdp_c = rdp.reshape(-1, ray_chunk, 3)
             n_chunks = rop_c.shape[0]
+            # hit selection runs in as few calls as HBM allows: its candidate
+            # expansion holds a [rays, max_hits, 13] gather whose lane-padded
+            # footprint caps rays-per-call at ~2^18 (the training ray budget
+            # selects in ONE call; the 10^6-ray eval path chunks)
+            k = min(n_chunks, max(1, 2 ** 18 // ray_chunk))
+            while n_chunks % k:
+                k -= 1
+            sel_rays = ray_chunk * k
+            n_sel = rop.shape[0] // sel_rays
+            if n_sel == 1:
+                hits = gt.select_hits(ro_sg, rd_sg, grid.sorted_gauss, cells,
+                                      geom, tracer_cfg, False)
+            else:
+                resh = lambda x: x.reshape(n_sel, sel_rays, *x.shape[1:])
+                hits = jax.lax.map(
+                    lambda ab: gt.select_hits(ab[0], ab[1], grid.sorted_gauss,
+                                              ab[2], geom, tracer_cfg, False),
+                    (resh(ro_sg), resh(rd_sg), jax.tree.map(resh, cells)))
+                hits = jax.tree.map(
+                    lambda x: x.reshape(n_sel * sel_rays, *x.shape[2:]), hits)
+            hits_c = jax.tree.map(
+                lambda x: x.reshape(n_chunks, ray_chunk, *x.shape[1:]), hits)
 
             def one(i_or_slice):
                 ab = jax.tree.map(lambda x: x[i_or_slice],
-                                  (rop_c, rdp_c, cells_c))
+                                  (rop_c, rdp_c, hits_c))
                 return gt.trace(ab[0], ab[1], grid, inputs, cfg=tracer_cfg,
-                                sh_deg=sh_deg, cells=ab[2])
+                                sh_deg=sh_deg, hits=ab[2])
 
             if n_chunks <= 8:
                 # unrolled: a lax.map would carry the [N,...] gradient
@@ -229,8 +251,8 @@ def make_trace_fn(params, aux, grid, tracer_cfg: gt.TracerConfig,
                 out = jax.lax.map(
                     lambda ab: gt.trace(ab[0], ab[1], grid, inputs,
                                         cfg=tracer_cfg, sh_deg=sh_deg,
-                                        cells=ab[2]),
-                    (rop_c, rdp_c, cells_c))
+                                        hits=ab[2]),
+                    (rop_c, rdp_c, hits_c))
             out = gt.TraceOut(*[
                 x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])[:m][inv_order]
                 for x in out])

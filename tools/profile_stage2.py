@@ -16,8 +16,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def timeit(fn, state, keys, n):
     import jax
+    print("  compiling...", flush=True)
+    t = time.perf_counter()
     s, _ = fn(state, keys[0])          # compile
     jax.block_until_ready(s.params.xyz)
+    print(f"  compiled+step1 in {time.perf_counter() - t:.1f}s", flush=True)
     t0 = time.perf_counter()
     s = state
     for i in range(1, n + 1):
@@ -37,6 +40,9 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--only", type=str, default="",
+                    help="run a single variant by name (one process per "
+                         "variant keeps each run inside a timeout budget)")
     args = ap.parse_args()
 
     img = 400
@@ -71,16 +77,19 @@ def main():
             st, tracer=dataclasses.replace(st.tracer, max_crossings=20)),
         "trace_rays/2": dataclasses.replace(st, trace_num_rays=2 ** 17),
     }
+    if args.only:
+        variants = {k: v for k, v in variants.items() if args.only in k}
     base = None
     for name, st_i in variants.items():
         try:
             dt = timeit(step_with(st_i), state, keys, args.iters)
         except Exception as e:  # keep going; a variant may OOM
-            print(f"{name:28s} FAILED: {type(e).__name__}: {e}")
+            print(f"{name:28s} FAILED: {type(e).__name__}: {e}", flush=True)
             continue
         if base is None:
             base = dt
-        print(f"{name:28s} {dt * 1e3:8.1f} ms/step   delta {1e3 * (base - dt):+7.1f} ms")
+        print(f"{name:28s} {dt * 1e3:8.1f} ms/step   delta "
+              f"{1e3 * (base - dt):+7.1f} ms", flush=True)
 
 
 if __name__ == "__main__":
