@@ -56,11 +56,15 @@ class PipelineConfig:
     transmittance_min: float = 0.03
     alpha_min: float = 1.0 / 255.0
     t_scene_max: float = 100.0
+    # budget defaults chosen from tools/trace_fidelity.py at the bench
+    # workload (100k gaussians, grid 48): vs a 96-hit/full-crossing oracle,
+    # (40 hits, 24 crossings) adds only ~0.002 mean |dcolor| over the prior
+    # (48, 32) while cutting ~75 ms/step; raise for higher-fidelity evals
     tracer_grid_res: int = 48
     tracer_max_cells: int = 12
-    tracer_max_hits: int = 48
+    tracer_max_hits: int = 40
     tracer_hit_budget: int = 16
-    tracer_max_crossings: int = 32
+    tracer_max_crossings: int = 24
     # rendering-equation eval chunk (reference: 2**20 point-samples,
     # gaussian_renderer/__init__.py:314)
     eval_chunk_point_samples: int = 2 ** 20
