@@ -362,6 +362,13 @@ def _blend_bwd(grid_x, n_tiles, S, res, cot):
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(starts, counts, splat, fwd_out, cot)
+    # the kernel writes only columns inside some tile's [start, start+count)
+    # range; global padding columns past the last range are never touched and
+    # would return uninitialized HBM (NaN garbage that poisons the gradient
+    # scatter depending on buffer reuse) — zero them explicitly
+    covered = jnp.max(starts + counts)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, splat.shape[1]), 1)
+    dsplat = jnp.where(col < covered, dsplat, 0.0)
     return dsplat, None, None
 
 

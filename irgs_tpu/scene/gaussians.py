@@ -251,3 +251,41 @@ def load_ply(path: str, n_capacity: int, max_sh_degree: int = 3):
         active_sh_degree=jnp.int32(max_sh_degree),
     )
     return params, aux
+
+
+def from_refgs(ref_params, ref_aux, *, env_resolution: int = 128,
+               env_init_value: float = 1.5, env_activation: str = "exp",
+               init_base_color: float = 0.5, init_metallic: float = 0.5,
+               init_roughness: float = 0.5):
+    """Stage-1 -> stage-2 adapter (≙ GaussianModel.restore_from_refgs,
+    scene/gaussian_model.py:211-270): keep the Ref-Gaussian geometry and SH
+    appearance, re-initialize materials to their stage-2 starting values and
+    replace the stage-1 cubemaps with a fresh trainable lat-long envmap."""
+    from ..scene import envlight
+
+    n = ref_params.n_capacity
+    params = GaussianParams(
+        xyz=ref_params.xyz,
+        base_color=jnp.full(
+            (n, 3), float(inverse_base_color_activation(
+                jnp.float32(init_base_color)))),
+        metallic=jnp.full(
+            (n, 1), float(math3d.inverse_sigmoid(jnp.float32(init_metallic)))),
+        roughness=jnp.full(
+            (n, 1), float(math3d.inverse_sigmoid(jnp.float32(init_roughness)))),
+        features_dc=ref_params.features_dc,
+        features_rest=ref_params.features_rest,
+        scaling=ref_params.scaling,
+        rotation=ref_params.rotation,
+        opacity=ref_params.opacity,
+        env=envlight.init_env(env_resolution, env_init_value, env_activation),
+        max_sh_degree=ref_params.max_sh_degree,
+    )
+    aux = GaussianAux(
+        alive=ref_aux.alive,
+        max_radii2d=jnp.zeros(n),
+        xyz_gradient_accum=jnp.zeros(n),
+        denom=jnp.zeros(n),
+        active_sh_degree=ref_aux.active_sh_degree,
+    )
+    return params, aux

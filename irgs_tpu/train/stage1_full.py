@@ -203,3 +203,46 @@ def reconstruct_tsdf(params, aux, cams, *, img_w, img_h, active_sh_degree,
                                  cam.height / 2 - 0.5,
                                  sdf_trunc=sdf_trunc, depth_trunc=depth_trunc)
     return vol
+
+
+def load_stage1_checkpoint(path: str):
+    """Load a stage-1 run's checkpoint (≙ the torch `chkpnt*.pth` consumed by
+    restore_from_refgs, reference train.py:52-59). `path` is a .ckpt file or
+    the stage-1 model dir (latest chkpnt*.ckpt). The state template is
+    rebuilt from the run's cfg.json + the checkpoint manifest."""
+    import glob
+    import json
+    import os
+
+    import numpy as np
+
+    from ..config import load_config
+    from ..utils.checkpoint import load_checkpoint
+
+    if os.path.isdir(path):
+        ckpts = sorted(glob.glob(os.path.join(path, "chkpnt*.ckpt")),
+                       key=lambda p: int("".join(filter(str.isdigit,
+                                                        os.path.basename(p)))))
+        if not ckpts:
+            raise FileNotFoundError(f"no chkpnt*.ckpt under {path}")
+        ckpt_path, model_dir = ckpts[-1], path
+    else:
+        ckpt_path, model_dir = path, os.path.dirname(path)
+    cfg1 = load_config(model_dir, stage1=True)
+
+    manifest = {}
+    if os.path.exists(ckpt_path + ".json"):
+        with open(ckpt_path + ".json") as f:
+            manifest = json.load(f)
+    n_cap = int(manifest.get("n_capacity", cfg1.model.max_gaussians))
+    sh_deg = int(manifest.get("sh_degree", cfg1.model.sh_degree))
+    env_res = int(manifest.get("env_res", 128))
+
+    dummy = np.eye(4, 3).astype(np.float32)   # template only; values ignored
+    params_t, aux_t = rgs.init_ref_from_pcd(dummy, dummy[:, :3] * 0 + 0.5,
+                                            n_cap, sh_deg, env_res=env_res)
+    optimizer = make_ref_optimizer(cfg1.opt)
+    template = Stage1State(params_t, aux_t, optimizer.init(params_t),
+                           jnp.int32(0))
+    state, iteration = load_checkpoint(ckpt_path, template)
+    return state, iteration, cfg1

@@ -146,6 +146,15 @@ def stage2_forward_loss(params: GaussianParams, aux: GaussianAux, grid: gt.Grid,
     px_points = flat(maps["points"])[idx]
     px_wo = -flat(maps["rays_d"])[idx]
     px_alpha = flat(alpha)[idx]
+    # rays selected beyond the eligible count are padding; degenerate
+    # G-buffer normals there turn into NaNs inside the sampling frame, and
+    # NaN·0 still poisons the loss AND the backward pass — substitute safe
+    # inputs (outputs are weighted by ray_valid below)
+    safe = ray_valid[:, None]
+    unit_z = jnp.array([0.0, 0.0, 1.0])
+    px_normal = jnp.where(safe, px_normal, unit_z)
+    px_wo = jnp.where(safe, px_wo, unit_z)
+    px_points = jnp.where(safe, px_points, 0.0)
 
     shade_cfg = ir.ShadeConfig(
         diffuse_sample_num=st.diffuse_sample_num,
@@ -161,6 +170,10 @@ def stage2_forward_loss(params: GaussianParams, aux: GaussianAux, grid: gt.Grid,
     full = rgb_to_srgb(re["diffuse"] + re["specular"])
     ray_rgb = full * px_alpha + bg[None] * (1 - px_alpha)
     gt_flat = flat(gt_image)[idx]
+    # rays selected beyond the eligible count are padding; their shading can
+    # be NaN (degenerate G-buffer normals) and NaN·0 still poisons the loss
+    ray_rgb = jnp.where(ray_valid[:, None], ray_rgb, 0.0)
+    gt_flat = jnp.where(ray_valid[:, None], gt_flat, 0.0)
 
     vw = ray_valid.astype(jnp.float32)[:, None]
     denom = jnp.maximum(jnp.sum(vw) * 3, 1.0)

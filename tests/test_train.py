@@ -144,6 +144,45 @@ def toy_env():
     return jnp.asarray(make_blob_env(16, 32))
 
 
+def test_restore_from_refgs_bridge(tmp_path, setup):
+    """Stage-1 ckpt -> load_stage1_checkpoint -> from_refgs -> stage-2 step
+    (≙ restore_from_refgs, scene/gaussian_model.py:211-270)."""
+    import json
+
+    from irgs_tpu.config import stage1_config
+    from irgs_tpu.scene import gaussians as G
+    from irgs_tpu.scene import ref_gaussians as rgs
+    from irgs_tpu.train import stage1_full as s1
+    from irgs_tpu.utils.checkpoint import save_checkpoint
+
+    cfg1 = stage1_config()
+    cfg1.model.max_gaussians = 256
+    cfg1.model.model_path = str(tmp_path)
+    cfg1.save()
+    import numpy as np_
+    pts = np_.random.RandomState(0).uniform(-1, 1, (64, 3)).astype(np_.float32)
+    rparams, raux = rgs.init_ref_from_pcd(pts, np_.full((64, 3), 0.5, np_.float32),
+                                          256, 3, env_res=16)
+    optimizer = s1.make_ref_optimizer(cfg1.opt)
+    state = s1.Stage1State(rparams, raux, optimizer.init(rparams), jnp.int32(7))
+    save_checkpoint(str(tmp_path / "chkpnt7.ckpt"), state, 7,
+                    extra=dict(n_capacity=256, sh_degree=3, env_res=16))
+
+    loaded, it, _ = s1.load_stage1_checkpoint(str(tmp_path))
+    assert it == 7
+    assert jnp.allclose(loaded.params.xyz, rparams.xyz)
+    assert jnp.allclose(loaded.params.opacity, rparams.opacity)
+
+    params2, aux2 = G.from_refgs(loaded.params, loaded.aux, env_resolution=32)
+    assert params2.xyz.shape == (256, 3)
+    assert params2.env.shape == (16, 32, 3)
+    assert int(aux2.n_alive) == 64
+    # geometry and SH carried over; materials re-initialized
+    assert jnp.allclose(params2.features_dc, rparams.features_dc)
+    assert jnp.allclose(params2.scaling, rparams.scaling)
+    assert float(jnp.std(params2.base_color)) < 1e-6
+
+
 def test_render_surfel2_smoke(setup):
     params, aux, cams, grid, cfg, st = setup
     from irgs_tpu.render import ref_gaussian as rr

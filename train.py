@@ -33,6 +33,9 @@ def main():
                         help="procedural toy scene instead of a dataset")
     parser.add_argument("--start_ply", type=str, default=None,
                         help="stage-1 geometry PLY to start from")
+    parser.add_argument("--start_checkpoint", type=str, default=None,
+                        help="stage-1 run dir or chkpnt*.ckpt to restore "
+                             "geometry from (≙ restore_from_refgs)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--vis_interval", type=int, default=500,
                         help="save an AOV grid every N iters (0 = off)")
@@ -82,7 +85,20 @@ def main():
         cams = info.train_cameras
         gt_images = [c.image for c in cams]
         masks = [c.mask for c in cams]
-        if args.start_ply:
+        if args.start_checkpoint:
+            from irgs_tpu.train.stage1_full import load_stage1_checkpoint
+            s1_state, s1_iter, _ = load_stage1_checkpoint(args.start_checkpoint)
+            params, aux = G.from_refgs(
+                s1_state.params, s1_state.aux,
+                env_resolution=cfg.model.envmap_resolution,
+                env_init_value=cfg.model.envmap_init_value,
+                env_activation=cfg.model.envmap_activation,
+                init_base_color=cfg.opt.init_base_color_value,
+                init_metallic=cfg.opt.init_metallic_value,
+                init_roughness=cfg.opt.init_roughness_value)
+            print(f"restored stage-1 geometry @ iter {s1_iter} "
+                  f"({int(aux.n_alive)} gaussians)")
+        elif args.start_ply:
             params, aux = G.load_ply(args.start_ply, cfg.model.max_gaussians,
                                      cfg.model.sh_degree)
         else:

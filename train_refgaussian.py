@@ -50,6 +50,7 @@ def main():
         # full-scale preprocess/sort cost
         cfg.model.max_gaussians = min(cfg.model.max_gaussians, 2 ** 15)
         cfg.pipe.dup_capacity = min(cfg.pipe.dup_capacity or 2 ** 18, 2 ** 18)
+        cfg.save()   # re-save so checkpoint loaders see the clamped capacities
         gt_params, gt_aux = toy.make_sphere_scene(n_surface=4096, n_capacity=8192)
         cams = toy.make_ring_cameras(24, width=128, height_px=128)
         # GT images: plain 2DGS render of the GT scene
@@ -176,7 +177,10 @@ def main():
             log.flush()
         if it % 10000 == 0 or it == opt.iterations:
             save_checkpoint(os.path.join(cfg.model.model_path, f"chkpnt{it}.ckpt"),
-                            state, it)
+                            state, it,
+                            extra=dict(n_capacity=int(state.params.n_capacity),
+                                       sh_degree=int(cfg.model.sh_degree),
+                                       env_res=int(state.params.env1.shape[1])))
     print("done:", cfg.model.model_path)
 
 
