@@ -251,10 +251,13 @@ def roughness_to_mip(roughness, n_mips: int, min_roughness: float = 0.08,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("res", "samples"))
-def compute_fg_lut(res: int = 256, samples: int = 1024):
+def compute_fg_lut(res: int = 256, samples: int = 8192):
     """Split-sum environment BRDF integral (scale, bias) over
-    (NdotV, roughness) — the standard Karis integration, computed here
-    instead of shipping the reference's binary blob. [res, res, 2]."""
+    (NdotV, roughness), computed here instead of shipping the reference's
+    binary blob (assets/bsdf_256_256.bin, loaded at gaussian_model.py:121).
+    Uses GGX importance sampling with the height-correlated Smith masking
+    term — verified against the reference blob to MC noise
+    (tests/test_golden.py). [res(rough), res(NdotV), 2]."""
     nv = (jnp.arange(res, dtype=jnp.float32) + 0.5) / res
     rough = (jnp.arange(res, dtype=jnp.float32) + 0.5) / res
 
@@ -268,22 +271,26 @@ def compute_fg_lut(res: int = 256, samples: int = 1024):
     bits = ((bits & u32(0x0F0F0F0F)) << 4) | ((bits & u32(0xF0F0F0F0)) >> 4)
     bits = ((bits & u32(0x00FF00FF)) << 8) | ((bits & u32(0xFF00FF00)) >> 8)
     xi2 = bits.astype(jnp.float32) * 2.3283064365386963e-10
-    xi1 = i / samples
+    xi1 = (i + 0.5) / samples
+
+    def lam(c, a2):  # Smith Lambda for GGX
+        c = jnp.clip(c, 1e-7, 1.0)
+        t2 = (1.0 - c * c) / (c * c)
+        return 0.5 * (jnp.sqrt(1.0 + a2 * t2) - 1.0)
 
     def one(nv_i, r_j):
         a = jnp.maximum(r_j * r_j, 1e-4)
+        a2 = a * a
         v = jnp.array([jnp.sqrt(1 - nv_i ** 2), 0.0, nv_i])
         phi = 2 * jnp.pi * xi1
-        ct = jnp.sqrt((1 - xi2) / (1 + (a * a - 1) * xi2))
+        ct = jnp.sqrt((1 - xi2) / (1 + (a2 - 1) * xi2))
         st = jnp.sqrt(jnp.maximum(1 - ct * ct, 0.0))
         h = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], -1)
         l = 2 * jnp.sum(v * h, -1, keepdims=True) * h - v
         nl = jnp.maximum(l[:, 2], 0.0)
         nh = jnp.maximum(h[:, 2], 0.0)
         vh = jnp.maximum(jnp.sum(v * h, -1), 0.0)
-        k = a * a / 2.0
-        g = (nl / jnp.maximum(nl * (1 - k) + k, 1e-6)) * \
-            (nv_i / jnp.maximum(nv_i * (1 - k) + k, 1e-6))
+        g = 1.0 / (1.0 + lam(nv_i, a2) + lam(nl, a2))
         g_vis = jnp.where(nl > 0, g * vh / jnp.maximum(nh * nv_i, 1e-6), 0.0)
         fc = jnp.power(1 - vh, 5.0)
         return jnp.stack([jnp.mean((1 - fc) * g_vis), jnp.mean(fc * g_vis)])

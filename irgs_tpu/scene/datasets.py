@@ -42,11 +42,17 @@ def _nerfpp_norm(cams: list[Camera]):
 
 
 def _load_image_any(path: str):
-    """RGB(A) image -> float [H, W, C]; EXR/HDR via cv2, LDR via PIL."""
+    """RGB(A) image -> float [H, W, C]; EXR via the native codec, HDR via
+    cv2, LDR via PIL."""
     ext = os.path.splitext(path)[1].lower()
-    if ext in (".exr", ".hdr"):
+    if ext == ".exr":
+        from ..utils import exr
+        return exr.read_exr_rgb(path)
+    if ext == ".hdr":
         import cv2
         img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise IOError(f"cv2 could not read {path}")
         if img.ndim == 3 and img.shape[-1] >= 3:
             img[..., :3] = img[..., 2::-1]  # BGR -> RGB
         return np.asarray(img, np.float32)
