@@ -27,7 +27,12 @@ plus one XLA scatter outside the kernel.
 Splat slab layout (SLAB_F f32 columns, padded to a multiple of 8):
   0:3 Tu | 3:6 Tv | 6:9 Tw | 9:11 center | 11 opacity | 12:12+NA attrs
   attrs = rgb(3) ‖ feature(S) ‖ normal(3).
-Per-tile outputs [256, C_OUT]: attrs(NA) | D | D2 | A | M1 | M2 | dist | T.
+Per-tile outputs [256, C_OUT]:
+  attrs(NA) | D | D2 | A | M1 | M2 | dist | med_depth | med_ord | T.
+med_depth is the true median depth (depth of the last contributing splat
+with incoming T > 0.5, ≙ forward.cu:418-421); med_ord is its position in
+the tile's duplicate range (-1 = none), used by the backward to route
+dL/dmed_depth to exactly that splat's dL/dz (≙ backward.cu:372-373).
 """
 
 from __future__ import annotations
@@ -41,6 +46,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 16
 TILE_PIX = TILE * TILE
+
+# when True, pallas_call runs in interpret mode (pure-Python emulation of the
+# DMA/VMEM semantics) so the kernel is testable on the CPU CI mesh — flip via
+# tests before first trace (the jit cache is keyed on traced code, so set it
+# once per process)
+INTERPRET = False
 NEAR_N = 0.2
 FAR_N = 100.0
 FILTER_INV_SQUARE = 2.0
@@ -54,7 +65,7 @@ def n_attr(S: int) -> int:
 
 
 def c_out(S: int) -> int:
-    return n_attr(S) + 7
+    return n_attr(S) + 9
 
 
 def slab_width(S: int) -> int:
@@ -139,6 +150,7 @@ def _make_fwd_kernel(grid_x: int, S: int, b_cap: int):
         px, py = _pix_coords(t, grid_x)
 
         out_ref[0] = jnp.zeros((TILE_PIX, CO), jnp.float32)
+        out_ref[0, :, CO - 2] = jnp.full((TILE_PIX,), -1.0, jnp.float32)
         out_ref[0, :, CO - 1] = jnp.ones((TILE_PIX,), jnp.float32)
 
         def body(state):
@@ -160,6 +172,20 @@ def _make_fwd_kernel(grid_x: int, S: int, b_cap: int):
             T_in = T_tile * jnp.exp(_cumsum_lanes_excl(lg))
             w = alpha * T_in
             w = jnp.where(T_in * (1.0 - alpha) < T_DONE, 0.0, w)
+
+            # median depth: last contributing splat with incoming T > 0.5
+            # (forward.cu:418-421); overwrite carries across chunks
+            mmask = (w > 0.0) & (T_in > 0.5)
+            iota_k = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIX, K), 1).astype(jnp.float32)
+            ordf = (c * K).astype(jnp.float32) + iota_k
+            cand = jnp.max(jnp.where(mmask, ordf, -1.0), axis=1)
+            selm = mmask & (ordf == cand[:, None])
+            cand_d = jnp.sum(jnp.where(selm, depth, 0.0), axis=1)
+            has = cand >= 0.0
+            out_ref[0, :, CO - 3] = jnp.where(has, cand_d,
+                                              out_ref[0, :, CO - 3])
+            out_ref[0, :, CO - 2] = jnp.where(has, cand,
+                                              out_ref[0, :, CO - 2])
 
             attrs_t = slab[12:12 + NA, :]                  # [NA, K]
             out_ref[0, :, 0:NA] += jax.lax.dot_general(
@@ -216,7 +242,12 @@ def _make_bwd_kernel(grid_x: int, S: int, b_cap: int):
         g_M1 = cot[0, :, NA + 3].reshape(TILE_PIX, 1)
         g_M2 = cot[0, :, NA + 4].reshape(TILE_PIX, 1)
         g_dist = cot[0, :, NA + 5].reshape(TILE_PIX, 1)
+        g_med = cot[0, :, CO - 3].reshape(TILE_PIX, 1)
+        med_ord = fwd_out[0, :, CO - 2].reshape(TILE_PIX, 1)
         g_T = cot[0, :, CO - 1].reshape(TILE_PIX, 1)
+        # cot[CO - 2] (med_ord, an index) is deliberately ignored — the
+        # reference exposes the median contributor via n_contrib with no
+        # gradient either
 
         def load_chunk(c):
             offs = pl.multiple_of(start + c * K, K)
@@ -275,6 +306,11 @@ def _make_bwd_kernel(grid_x: int, S: int, b_cap: int):
                 T_in * dLdw - remainder / one_m - g_T * T_final / one_m,
                 0.0)
             ddepth = w * (g_D + 2.0 * depth * g_D2)
+            # median-depth grad: only the median contributor receives it
+            # (≙ backward.cu:372-373)
+            iota_k = jax.lax.broadcasted_iota(jnp.int32, (TILE_PIX, K), 1).astype(jnp.float32)
+            ordf = (c * K).astype(jnp.float32) + iota_k
+            ddepth = ddepth + jnp.where(ordf == med_ord, g_med, 0.0)
 
             # per-pixel sums -> per-gaussian rows through the alpha-math vjp
             (dslab,) = pullback((dalpha, ddepth, dLdm))
@@ -314,7 +350,7 @@ def _blend_fwd_call(splat, starts, counts, grid_x, n_tiles, S):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, TILE_PIX, CO), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -326,6 +362,7 @@ def _blend_fwd_call(splat, starts, counts, grid_x, n_tiles, S):
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_tiles, TILE_PIX, CO), jnp.float32),
         grid_spec=grid_spec,
+        interpret=INTERPRET,
     )(starts, counts, splat)
 
 
@@ -342,13 +379,13 @@ def _blend_bwd(grid_x, n_tiles, S, res, cot):
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, TILE_PIX, CO), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_PIX, CO), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((splat.shape[0], K), jnp.float32),
             pltpu.VMEM((splat.shape[0], K), jnp.float32),
@@ -361,6 +398,7 @@ def _blend_bwd(grid_x, n_tiles, S, res, cot):
         out_shape=jax.ShapeDtypeStruct(splat.shape, jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=INTERPRET,
     )(starts, counts, splat, fwd_out, cot)
     # the kernel writes only columns inside some tile's [start, start+count)
     # range; global padding columns past the last range are never touched and

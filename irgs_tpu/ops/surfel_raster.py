@@ -54,6 +54,17 @@ class RasterOut(NamedTuple):
     alpha: jnp.ndarray        # [H, W]      accumulated alpha (1 - final T)
     depth: jnp.ndarray        # [H, W]      expected depth (Σ w·z, unnormalized)
     depth2: jnp.ndarray       # [H, W]      second moment (Σ w·z²)
+    depth_median: jnp.ndarray  # [H, W]     depth of the last contributing
+                              # splat with incoming T > 0.5 (the true median
+                              # depth tracked by forward.cu:334-420; NOTE the
+                              # reference fork writes D2 into its
+                              # MIDDEPTH_OFFSET slot at forward.cu:447 while
+                              # its backward routes that slot's cotangent to
+                              # the median contributor's dL/dz,
+                              # backward.cu:372-373 — we emit both quantities
+                              # separately, with the median's gradient
+                              # flowing only to the selected splat's depth,
+                              # matching the backward's routing)
     normal: jnp.ndarray       # [H, W, 3]   view-space normal (Σ w·n)
     distortion: jnp.ndarray   # [H, W]
     radii: jnp.ndarray        # [N] int32 screen radius (0 = culled)
@@ -404,19 +415,36 @@ def rasterize(means3d, scales, quats, opacities, shs, features,
             aggs = jnp.stack([jnp.sum(w, -1), jnp.sum(mw, -1), jnp.sum(m2w, -1)], -1)
             depth_out = jnp.stack(
                 [jnp.sum(w * depth, -1), jnp.sum(w * depth * depth, -1)], -1)
+            # median-depth candidate: the last contributing splat with
+            # incoming T > 0.5 (≙ the `if (T > 0.5)` overwrite,
+            # forward.cu:418-421). `ord` = global sorted position, strictly
+            # increasing within a tile, so the cross-chunk combine is a
+            # segment max on ord.
+            mmask = jax.lax.stop_gradient((w > 0.0) & (T > 0.5))
+            ordk = (cs[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None]
+                    ).astype(jnp.float32)                         # [C,K]
+            ord_e = jnp.broadcast_to(ordk[:, None, :], mmask.shape)
+            med_ord = jnp.max(jnp.where(mmask, ord_e, -1.0), -1)  # [C,256]
+            sel = mmask & (ord_e == med_ord[..., None])
+            med_depth = jnp.sum(jnp.where(sel, depth, 0.0), -1)
         else:
             dist_intra = jnp.zeros(w.shape[:2], w.dtype)
             aggs = jnp.zeros(w.shape[:2] + (3,), w.dtype)
             depth_out = jnp.zeros(w.shape[:2] + (2,), w.dtype)
-        return out_attr, jnp.sum(w, -1), dist_intra, aggs, depth_out
+            med_ord = jnp.full(w.shape[:2], -1.0, w.dtype)
+            med_depth = jnp.zeros(w.shape[:2], w.dtype)
+        return out_attr, jnp.sum(w, -1), dist_intra, aggs, depth_out, med_ord, med_depth
 
-    out_attr, wsum, dist_intra, aggs, depth_out = run_blocks(pass2, extra=(T_in,))
+    (out_attr, wsum, dist_intra, aggs, depth_out, med_ord,
+     med_depth) = run_blocks(pass2, extra=(T_in,))
     Cn = n_chunk_cap
     out_attr = out_attr.reshape(Cn, TILE_PIX, -1)
     wsum = wsum.reshape(Cn, TILE_PIX)
     dist_intra = dist_intra.reshape(Cn, TILE_PIX)
     aggs = aggs.reshape(Cn, TILE_PIX, 3)
     depth_out = depth_out.reshape(Cn, TILE_PIX, 2)
+    med_ord = med_ord.reshape(Cn, TILE_PIX)
+    med_depth = med_depth.reshape(Cn, TILE_PIX)
 
     # cross-chunk distortion terms
     agg_in = _seg_excl_cumsum(aggs, coff, jnp.minimum(ctile, n_tiles - 1))
@@ -430,6 +458,13 @@ def rasterize(means3d, scales, quats, opacities, shs, features,
     tile_w = jax.ops.segment_sum(wsum, seg, num_segments=num_seg)[:n_tiles]
     tile_dist = jax.ops.segment_sum(dist_intra + dist_cross, seg, num_segments=num_seg)[:n_tiles]
     tile_depth = jax.ops.segment_sum(depth_out, seg, num_segments=num_seg)[:n_tiles]
+
+    # median depth: the LAST chunk-level candidate per tile wins (ord is the
+    # global sorted position, unique and increasing within a tile)
+    tile_mord = jax.ops.segment_max(med_ord, seg, num_segments=num_seg)
+    winner = (med_ord >= 0.0) & (med_ord == tile_mord[seg])
+    tile_med = jax.ops.segment_sum(jnp.where(winner, med_depth, 0.0), seg,
+                                   num_segments=num_seg)[:n_tiles]
 
     def to_image(x):
         # [T, 256, C] -> [H, W, C]
@@ -445,12 +480,14 @@ def rasterize(means3d, scales, quats, opacities, shs, features,
     alpha_img = to_image(tile_w[..., None])[..., 0]
     depth_img = to_image(tile_depth)
     dist_img = to_image(tile_dist[..., None])[..., 0]
+    med_img = to_image(tile_med[..., None])[..., 0]
 
     color = color + (1.0 - alpha_img)[..., None] * bg_color[None, None, :]
 
     return RasterOut(
         color=color, feature=feature, alpha=alpha_img,
         depth=depth_img[..., 0], depth2=depth_img[..., 1],
+        depth_median=med_img,
         normal=normal, distortion=dist_img,
         radii=prep.radius.astype(jnp.int32),
         overflow=binning.overflow,
@@ -526,12 +563,14 @@ def _rasterize_pallas(means3d, scales, quats, opacities, shs, features,
     depth2 = img[..., na + 1]
     alpha_img = img[..., na + 2]
     dist = img[..., na + 5]
+    med = img[..., na + 6]
     t_final = img[..., co - 1]
     color = color + t_final[..., None] * bg_color[None, None, :]
 
     return RasterOut(
         color=color, feature=feature, alpha=alpha_img,
-        depth=depth, depth2=depth2, normal=normal, distortion=dist,
+        depth=depth, depth2=depth2, depth_median=med,
+        normal=normal, distortion=dist,
         radii=prep.radius.astype(jnp.int32),
         overflow=binning.overflow,
     )
