@@ -48,11 +48,15 @@ class RefGaussianParams:
     get_scaling = GaussianParams.get_scaling
     get_rotation = GaussianParams.get_rotation
     get_opacity = GaussianParams.get_opacity
-    get_base_color = GaussianParams.get_base_color
     get_metallic = GaussianParams.get_metallic
     get_roughness = GaussianParams.get_roughness
     get_features = GaussianParams.get_features
     world_normals = GaussianParams.world_normals
+
+    def get_base_color(self):
+        # stage 1 uses a PLAIN sigmoid (ref_gaussian_model.py:65-66), unlike
+        # stage 2's σ·0.77+0.03 (gaussian_model.py:68)
+        return jax.nn.sigmoid(self.base_color)
 
     def get_indirect(self):
         return jnp.concatenate([self.indirect_dc, self.indirect_rest], axis=1)
@@ -154,11 +158,66 @@ def dist_color(params, key, metallic_thr: float = 0.02, dist_range: float = 0.4)
     return _replace(params, features_dc=new)
 
 
-def enlarge_metallic_scales(params, metallic_thr: float, factor: float = 1.5):
-    """≙ enlarge_metallic_scales: grow scales of metallic gaussians."""
-    m = jax.nn.sigmoid(params.metallic)[:, 0] >= metallic_thr
+def enlarge_metallic_scales(params, metallic_thr: float, factor: float = 1.5,
+                            rough_thr: float = 0.1):
+    """≙ enlarge_metallic_scales (ref_gaussian_model.py:431-450): grow the
+    scales of gaussians that are metallic (>= metallic_thr) AND smooth
+    (roughness <= rough_thr); everything else keeps its raw scaling."""
+    keep = ((jax.nn.sigmoid(params.metallic)[:, 0] < metallic_thr)
+            | (jax.nn.sigmoid(params.roughness)[:, 0] > rough_thr))
     return _replace(params, scaling=jnp.where(
-        m[:, None], params.scaling + jnp.log(factor), params.scaling))
+        keep[:, None], params.scaling, params.scaling + jnp.log(factor)))
+
+
+def reset_scale(params, metallic_thr: float, factor: float = 1.5,
+                rough_thr: float = 0.1):
+    """≙ reset_scale (ref_gaussian_model.py:452-457): the enlarge op routed
+    through optimizer replacement — pair with zero_adam_moments("scaling")."""
+    return enlarge_metallic_scales(params, metallic_thr, factor, rough_thr)
+
+
+def reset_base_color(params, key, reset_value: float = 0.5,
+                     noise_level: float = 0.05):
+    """≙ reset_base_color (ref_gaussian_model.py:478-487): base color to
+    reset_value + U(-noise/2, noise/2), through the stage-1 sigmoid."""
+    noise = (jax.random.uniform(key, params.base_color.shape) - 0.5) * noise_level
+    new = jnp.clip(reset_value + noise, 0.0, 1.0)
+    return _replace(params, base_color=math3d.inverse_sigmoid(
+        jnp.clip(new, 1e-6, 1 - 1e-6)))
+
+
+def reset_metallic_full(params, reset_value: float = 0.01):
+    """≙ reset_metallic (ref_gaussian_model.py:489-493): hard reset of every
+    metallic value (the masked variant is reset_metallic above)."""
+    v = float(math3d.inverse_sigmoid(jnp.float32(
+        jnp.clip(reset_value, 1e-6, 1 - 1e-6))))
+    return _replace(params, metallic=jnp.full_like(params.metallic, v))
+
+
+def reset_roughness(params, reset_value: float = 0.1):
+    """≙ reset_roughness (ref_gaussian_model.py:495-499)."""
+    v = float(math3d.inverse_sigmoid(jnp.float32(
+        jnp.clip(reset_value, 1e-6, 1 - 1e-6))))
+    return _replace(params, roughness=jnp.full_like(params.roughness, v))
+
+
+def zero_adam_moments(opt_state, names, n_capacity: int):
+    """Optimizer surgery for the reset ops: zero the Adam first/second
+    moments of the named param groups, keeping the step count — exactly what
+    replace_tensor_to_optimizer does (ref_gaussian_model.py:580-594: exp_avg
+    and exp_avg_sq zeroed, 'step' preserved)."""
+    def z(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n_capacity:
+            return jnp.zeros_like(x)
+        return x
+
+    if hasattr(opt_state, "inner_states"):
+        states = dict(opt_state.inner_states)
+        for name in names:
+            if name in states:
+                states[name] = jax.tree.map(z, states[name])
+        return opt_state._replace(inner_states=states)
+    return jax.tree.map(z, opt_state)
 
 
 def reset_features_rest(params):

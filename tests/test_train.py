@@ -12,7 +12,7 @@ from irgs_tpu.train import stage2 as s2
 
 
 TRACER = gt.TracerConfig(grid_res=12, pair_capacity=2 ** 13, max_cells=8,
-                         max_hits=24, max_steps=48)
+                         max_hits=24)
 
 
 @pytest.fixture(scope="module")
@@ -218,3 +218,73 @@ def test_checkpoint_roundtrip(tmp_path, setup):
     assert it == 42
     np.testing.assert_allclose(state2.params.xyz, state.params.xyz)
     np.testing.assert_allclose(state2.params.env, state.params.env)
+
+
+def test_stage1_reset_ops_and_optimizer_surgery():
+    """Reset ops (ref_gaussian_model.py:392-499) and the Adam-moment zeroing
+    of replace_tensor_to_optimizer (:580-594)."""
+    from irgs_tpu.scene import ref_gaussians as rgs
+    from irgs_tpu.train import stage1_full as s1
+    from irgs_tpu.config import stage1_config
+    from irgs_tpu.utils.math3d import inverse_sigmoid
+
+    params, aux = toy.make_sphere_scene(n_surface=64, n_capacity=128,
+                                        env_resolution=8)
+    k = 16
+    rparams = rgs.RefGaussianParams(
+        xyz=params.xyz, base_color=params.base_color, metallic=params.metallic,
+        roughness=params.roughness, features_dc=params.features_dc,
+        features_rest=params.features_rest,
+        indirect_dc=jnp.zeros((128, 1, 3)),
+        indirect_rest=jnp.zeros((128, k - 1, 3)),
+        scaling=params.scaling, rotation=params.rotation,
+        opacity=params.opacity,
+        env1=jnp.zeros((6, 8, 8, 3)), env2=jnp.zeros((6, 8, 8, 3)))
+
+    # full material resets at the volume->surfel switch
+    key = jax.random.PRNGKey(3)
+    p = rgs.reset_base_color(rparams, key, reset_value=0.5, noise_level=0.05)
+    bc = jax.nn.sigmoid(p.base_color)
+    assert float(jnp.abs(bc - 0.5).max()) <= 0.026  # 0.5 +- noise/2
+    assert float(jnp.std(bc)) > 1e-4                # noise actually applied
+    p = rgs.reset_metallic_full(p, 0.01)
+    np.testing.assert_allclose(np.asarray(jax.nn.sigmoid(p.metallic)), 0.01,
+                               rtol=1e-5)
+    p = rgs.reset_roughness(p, 0.1)
+    np.testing.assert_allclose(np.asarray(jax.nn.sigmoid(p.roughness)), 0.1,
+                               rtol=1e-5)
+
+    # reset_scale mask: enlarge only metallic >= thr AND rough <= rough_thr
+    p2 = dataclasses.replace(
+        rparams,
+        metallic=jnp.full_like(rparams.metallic, float(inverse_sigmoid(jnp.float32(0.5)))),
+        roughness=jnp.full_like(rparams.roughness, float(inverse_sigmoid(jnp.float32(0.05)))))
+    enlarged = rgs.reset_scale(p2, metallic_thr=0.02, factor=1.5, rough_thr=0.1)
+    np.testing.assert_allclose(np.asarray(enlarged.scaling - p2.scaling),
+                               np.log(1.5), rtol=1e-5)
+    p3 = dataclasses.replace(
+        p2, roughness=jnp.full_like(p2.roughness, float(inverse_sigmoid(jnp.float32(0.9)))))
+    kept = rgs.reset_scale(p3, metallic_thr=0.02, factor=1.5, rough_thr=0.1)
+    np.testing.assert_allclose(np.asarray(kept.scaling), np.asarray(p3.scaling))
+
+    # optimizer surgery: moments of the named groups zeroed, others kept,
+    # step count preserved
+    cfg = stage1_config()
+    optimizer = s1.make_ref_optimizer(cfg.opt)
+    opt_state = optimizer.init(rparams)
+    grads = jax.tree.map(jnp.ones_like, rparams)
+    _, opt_state = optimizer.update(grads, opt_state, rparams)
+
+    def moment_norm(state, name):
+        leaves = [x for x in jax.tree.leaves(state.inner_states[name])
+                  if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == 128]
+        return sum(float(jnp.abs(x).sum()) for x in leaves)
+
+    assert moment_norm(opt_state, "opacity") > 0
+    assert moment_norm(opt_state, "scaling") > 0
+    surg = rgs.zero_adam_moments(opt_state, ("opacity",), 128)
+    assert moment_norm(surg, "opacity") == 0.0
+    assert moment_norm(surg, "scaling") > 0
+    counts = [x for x in jax.tree.leaves(surg.inner_states["opacity"])
+              if hasattr(x, "ndim") and x.ndim == 0]
+    assert any(int(c) == 1 for c in counts)  # step count survives

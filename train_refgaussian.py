@@ -66,7 +66,8 @@ def main():
     else:
         from irgs_tpu.scene.datasets import load_scene
         info = load_scene(cfg.model.source_path, cfg.model.white_background,
-                          eval_split=cfg.model.eval)
+                          eval_split=cfg.model.eval,
+                          resolution=cfg.model.resolution)
         cams = info.train_cameras
         gt_images = [c.image for c in cams]
         masks = [c.mask for c in cams]
@@ -118,6 +119,18 @@ def main():
                  "volume" if it <= opt.volume_render_until_iter else "surfel")
         st = make_static(phase, sh_deg, use_indirect and vol is not None)
 
+        # material re-init at the volume->surfel phase switch
+        # (≙ reset_gaussian_para, train_refgaussian.py:118-119,273-277)
+        if (it == opt.volume_render_until_iter + 1
+                and opt.volume_render_until_iter > opt.init_until_iter):
+            p2 = rgs.reset_base_color(state.params, jax.random.fold_in(key, it))
+            p2 = rgs.reset_metallic_full(p2, opt.init_metallic_value)
+            p2 = rgs.reset_roughness(p2, opt.init_roughness_value)
+            o2 = rgs.zero_adam_moments(
+                state.opt_state, ("base_color", "metallic", "roughness"),
+                state.params.n_capacity)
+            state = state._replace(params=p2, opt_state=o2)
+
         i = int(order[it % len(cams)])
         if it % len(cams) == 0:
             order = rng.permutation(len(cams))
@@ -147,16 +160,26 @@ def main():
                 has_reset0 = True
                 p2 = rgs.reset_opacity0(state.params, state.aux.alive)
                 p2 = rgs.reset_metallic(p2, opt.init_metallic_value)
-                state = state._replace(params=p2)
+                # ≙ replace_tensor_to_optimizer zeroing exp_avg/exp_avg_sq
+                # (ref_gaussian_model.py:580-594) — stale second moments
+                # would otherwise blast the freshly reset values
+                o2 = rgs.zero_adam_moments(state.opt_state,
+                                           ("opacity", "metallic"),
+                                           state.params.n_capacity)
+                state = state._replace(params=p2, opt_state=o2)
             if (opt.init_until_iter < it <= opt.normal_prop_until_iter
                     and it % opt.normal_prop_interval == 0 and not has_reset0):
                 p2 = rgs.reset_opacity1(state.params)
+                touched = ["opacity", "scaling"]
                 if it > opt.volume_render_until_iter > opt.init_until_iter:
                     p2 = rgs.dist_color(p2, jax.random.fold_in(key, 7 * it),
                                         metallic_thr=opt.metallic_msk_thr)
-                p2 = rgs.enlarge_metallic_scales(p2, opt.metallic_msk_thr,
-                                                 opt.enlarge_scale)
-                state = state._replace(params=p2)
+                    touched.append("features_dc")
+                p2 = rgs.reset_scale(p2, opt.metallic_msk_thr,
+                                     opt.enlarge_scale, opt.rough_msk_thr)
+                o2 = rgs.zero_adam_moments(state.opt_state, touched,
+                                           state.params.n_capacity)
+                state = state._replace(params=p2, opt_state=o2)
 
         # TSDF refresh for reflection visibility (:236-249)
         if use_indirect and (it % args.mesh_interval == 0
