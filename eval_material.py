@@ -56,7 +56,8 @@ def main():
         os.path.join(pc_dir, f"iteration_{it}", "point_cloud.ply"),
         cfg.model.max_gaussians, cfg.model.sh_degree)
 
-    info = load_scene(cfg.model.source_path, cfg.model.white_background, True)
+    info = load_scene(cfg.model.source_path, cfg.model.white_background, True,
+                      resolution=cfg.model.resolution)
     cams = info.train_cameras if args.compute_scale else (info.test_cameras or info.train_cameras)
     h, w = cams[0].height, cams[0].width
 

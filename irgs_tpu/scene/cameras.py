@@ -84,6 +84,7 @@ class Camera:
             self.height, self.width = int(height), int(width)
         self.mask = None if mask is None else np.asarray(mask).astype(bool).reshape(self.height, self.width)
 
+        self.K = None if K is None else np.asarray(K)
         self.w2c = math3d.world_to_view(R, T)
         if K is None:
             self.proj = math3d.projection_matrix(znear, zfar, self.fovx, self.fovy)

@@ -224,24 +224,81 @@ def read_stanford_orb_scene(path, white_background, eval_split,
                      light_rotate=False, ply_path=ply_path)
 
 
+def _downscale_camera(cam: Camera, resolution, resolution_scale: float) -> Camera:
+    """Resolution-scaled reload of one view (≙ loadCam,
+    utils/camera_utils.py:21-71): -r ∈ {1,2,4,8} divides, -r -1 caps width
+    at 1600, any other value is a target width; intrinsics K are divided by
+    the same scalar scale. Images/masks are area-downsampled (cv2
+    INTER_AREA ≙ PIL's antialiased resize)."""
+    import cv2
+
+    orig_w, orig_h = cam.width, cam.height
+    if resolution in (1, 2, 4, 8):
+        scale = float(resolution_scale * resolution)
+        new_w, new_h = round(orig_w / scale), round(orig_h / scale)
+    else:
+        if resolution == -1:
+            global_down = orig_w / 1600 if orig_w > 1600 else 1.0
+        else:
+            global_down = orig_w / float(resolution)
+        scale = float(global_down) * float(resolution_scale)
+        new_w, new_h = int(orig_w / scale), int(orig_h / scale)
+    if (new_w, new_h) == (orig_w, orig_h):
+        return cam
+
+    interp = cv2.INTER_AREA if new_w < orig_w else cv2.INTER_LINEAR
+    image = None
+    if cam.image is not None:
+        image = cv2.resize(cam.image, (new_w, new_h), interpolation=interp)
+    mask = None
+    if cam.mask is not None:
+        mask = cv2.resize(cam.mask.astype(np.float32), (new_w, new_h),
+                          interpolation=interp) > 0.5
+    K = None
+    if getattr(cam, "K", None) is not None:
+        K = cam.K.copy()
+        K[:2] = K[:2] / scale
+    return Camera(cam.uid, cam.R, cam.T, fovx=cam.fovx, fovy=cam.fovy,
+                  image=image, image_name=cam.image_name, mask=mask,
+                  znear=cam.znear, zfar=cam.zfar,
+                  width=new_w, height=new_h, K=K, image_path=cam.image_path)
+
+
+def apply_resolution(info: SceneInfo, resolution, resolution_scale: float = 1.0) -> SceneInfo:
+    """≙ cameraList_from_camInfos over both splits
+    (utils/camera_utils.py:73-79). No-op at -r -1 with small images."""
+    if resolution == -1:
+        if all(c.width <= 1600 for c in info.train_cameras + info.test_cameras):
+            return info
+    info.train_cameras = [_downscale_camera(c, resolution, resolution_scale)
+                          for c in info.train_cameras]
+    info.test_cameras = [_downscale_camera(c, resolution, resolution_scale)
+                         for c in info.test_cameras]
+    return info
+
+
 def load_scene(source_path: str, white_background: bool = False,
-               eval_split: bool = True) -> SceneInfo:
-    """Path-sniffing dispatch (≙ Scene.__init__, scene/__init__.py:49-68)."""
+               eval_split: bool = True, resolution: int = -1,
+               resolution_scale: float = 1.0) -> SceneInfo:
+    """Path-sniffing dispatch (≙ Scene.__init__, scene/__init__.py:49-68),
+    plus the reference's `-r/--resolution` camera scaling."""
     if os.path.exists(os.path.join(source_path, "transforms_train.json")):
         if "Synthetic4Relight" in source_path:
-            return read_synthetic4relight_scene(source_path, white_background,
+            info = read_synthetic4relight_scene(source_path, white_background,
                                                 eval_split)
-        if "StanfordORB" in source_path or "stanford_orb" in source_path:
-            return read_stanford_orb_scene(source_path, white_background,
+        elif "StanfordORB" in source_path or "stanford_orb" in source_path:
+            info = read_stanford_orb_scene(source_path, white_background,
                                            eval_split)
-        info = read_blender_scene(source_path, white_background, eval_split)
-        if "TensoIR" in source_path:
-            info.light_rotate = True
-        return info
-    if os.path.exists(os.path.join(source_path, "sparse")):
+        else:
+            info = read_blender_scene(source_path, white_background, eval_split)
+            if "TensoIR" in source_path:
+                info.light_rotate = True
+    elif os.path.exists(os.path.join(source_path, "sparse")):
         from .colmap import read_colmap_scene
-        return read_colmap_scene(source_path, eval_split=eval_split)
-    raise ValueError(f"Could not recognize scene type at {source_path}")
+        info = read_colmap_scene(source_path, eval_split=eval_split)
+    else:
+        raise ValueError(f"Could not recognize scene type at {source_path}")
+    return apply_resolution(info, resolution, resolution_scale)
 
 
 # Envmap world-rotation applied for Synthetic4Relight/TensoIR

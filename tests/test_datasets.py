@@ -83,3 +83,50 @@ def test_blender_reader(tmp_path):
 def test_qvec_identity():
     R = _qvec2rotmat(np.array([1.0, 0, 0, 0]))
     np.testing.assert_allclose(R, np.eye(3))
+
+
+def test_resolution_scaling(tmp_path):
+    """-r/--resolution camera scaling (≙ utils/camera_utils.py:21-79)."""
+    from irgs_tpu.scene.cameras import Camera
+    from irgs_tpu.scene.datasets import _downscale_camera
+
+    root = str(tmp_path / "blender_r")
+    os.makedirs(root)
+    c2w = np.eye(4); c2w[2, 3] = 2.0
+    meta = {"camera_angle_x": 0.8,
+            "frames": [{"file_path": "./r_0",
+                        "transform_matrix": c2w.tolist()}]}
+    with open(os.path.join(root, "transforms_train.json"), "w") as f:
+        json.dump(meta, f)
+    rgba = np.zeros((32, 32, 4), np.uint8)
+    rgba[8:24, 8:24] = [255, 0, 0, 255]
+    Image.fromarray(rgba).save(os.path.join(root, "r_0.png"))
+
+    info = load_scene(root, white_background=True, eval_split=False,
+                      resolution=2)
+    cam = info.train_cameras[0]
+    assert cam.image.shape == (16, 16, 3)
+    assert cam.mask is not None and cam.mask.shape == (16, 16)
+    assert cam.mask.sum() == 64        # area-downsampled box mask
+    # fov preserved; focal halves with the width
+    assert abs(cam.fovx - 0.8) < 1e-9
+    full = load_scene(root, white_background=True, eval_split=False)
+    assert abs(cam.fx - full.train_cameras[0].fx / 2) < 1e-6
+    # -r -1 with small images is a no-op
+    same = load_scene(root, white_background=True, eval_split=False,
+                      resolution=-1)
+    assert same.train_cameras[0].image.shape == (32, 32, 3)
+    # arbitrary target width
+    w8 = load_scene(root, white_background=True, eval_split=False,
+                    resolution=8)
+    assert w8.train_cameras[0].image.shape == (4, 4, 3)
+
+    # K intrinsics are divided by the same scale
+    K = np.array([[30.0, 0, 16], [0, 30.0, 12], [0, 0, 1.0]])
+    cam_k = Camera(0, np.eye(3), np.array([0., 0., 2.]), 0.8, 0.8,
+                   image=np.zeros((24, 32, 3), np.float32), K=K)
+    half = _downscale_camera(cam_k, 2, 1.0)
+    np.testing.assert_allclose(half.K[0, 0], 15.0)
+    np.testing.assert_allclose(half.K[:2, 2], [8.0, 6.0])
+    np.testing.assert_allclose(half.K[2], [0, 0, 1])
+    assert half.image.shape == (12, 16, 3)

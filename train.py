@@ -81,7 +81,8 @@ def main():
     else:
         from irgs_tpu.scene.datasets import (LIGHT_ROTATE_TRANSFORM, load_scene)
         info = load_scene(cfg.model.source_path, cfg.model.white_background,
-                          eval_split=cfg.model.eval)
+                          eval_split=cfg.model.eval,
+                          resolution=cfg.model.resolution)
         cams = info.train_cameras
         gt_images = [c.image for c in cams]
         masks = [c.mask for c in cams]
