@@ -240,3 +240,200 @@ def extract_mesh(vol: TSDFVolume, level: float = 0.0,
     verts = np.concatenate(verts_out, axis=0).astype(np.float32)
     faces = np.concatenate(faces_out, axis=0).astype(np.int32)
     return verts, faces
+
+
+# ---------------------------------------------------------------------------
+# unbounded (contracted) extraction + mesh post-processing
+# ---------------------------------------------------------------------------
+
+def contract(x):
+    """Mip-NeRF-360 scene contraction (≙ extract_mesh_unbounded.contract,
+    utils/mesh_utils.py:190-192)."""
+    mag = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return jnp.where(mag < 1, x, (2.0 - 1.0 / jnp.maximum(mag, 1e-9)) * (x / jnp.maximum(mag, 1e-9)))
+
+
+def uncontract(y):
+    """Inverse contraction (≙ mesh_utils.py:194-196)."""
+    mag = jnp.linalg.norm(y, axis=-1, keepdims=True)
+    return jnp.where(mag < 1, y,
+                     1.0 / jnp.maximum(2.0 - mag, 1e-2) * (y / jnp.maximum(mag, 1e-9)))
+
+
+def _sample_depth_bilinear(depthmap, pix, h, w):
+    """grid_sample(mode=bilinear, padding=border, align_corners=True) on a
+    [H, W] map at NDC coords pix in [-1, 1] (≙ compute_sdf_perframe,
+    mesh_utils.py:198-209)."""
+    u = (pix[..., 0] + 1.0) * 0.5 * (w - 1)
+    v = (pix[..., 1] + 1.0) * 0.5 * (h - 1)
+    u = jnp.clip(u, 0.0, w - 1.0)
+    v = jnp.clip(v, 0.0, h - 1.0)
+    u0 = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, w - 2)
+    v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, h - 2)
+    fu = u - u0
+    fv = v - v0
+    d00 = depthmap[v0, u0]
+    d01 = depthmap[v0, u0 + 1]
+    d10 = depthmap[v0 + 1, u0]
+    d11 = depthmap[v0 + 1, u0 + 1]
+    return ((d00 * (1 - fu) + d01 * fu) * (1 - fv)
+            + (d10 * (1 - fu) + d11 * fu) * fv)
+
+
+@jax.jit
+def _sdf_perframe(points, depthmap, full_proj):
+    """Projective per-frame SDF: sampled_depth - z at each world point
+    (≙ compute_sdf_perframe, mesh_utils.py:198-209). full_proj is the
+    column-vector [4,4] world->clip matrix (w_clip = z_view)."""
+    hom = jnp.concatenate([points, jnp.ones_like(points[..., :1])], -1)
+    clip = hom @ full_proj.T
+    z = clip[..., 3:4]
+    pix = clip[..., :2] / jnp.maximum(z, 1e-9)
+    mask = jnp.all((pix > -1.0) & (pix < 1.0), -1) & (z[..., 0] > 0)
+    h, w = depthmap.shape
+    sampled = _sample_depth_bilinear(depthmap, pix, h, w)
+    return sampled - z[..., 0], mask
+
+
+def fuse_unbounded_tsdf(samples_contracted, depths, full_projs, center,
+                        radius, voxel_size):
+    """TSDF value at contracted-space samples, fused over all views with the
+    running weighted mean and adaptive truncation of
+    compute_unbounded_tsdf (mesh_utils.py:211-247).
+
+    depths: [V, H, W]; full_projs: [V, 4, 4]; samples_contracted [M, 3] in
+    the normalized contracted frame.
+    """
+    mag = jnp.linalg.norm(samples_contracted, axis=-1)
+    sdf_trunc = 5.0 * voxel_size * jnp.where(
+        mag > 1, 1.0 / (2.0 - jnp.clip(mag, None, 1.9)), 1.0)
+    world = uncontract(samples_contracted) * radius + center
+
+    def body(i, carry):
+        tsdfs, weights = carry
+        sdf, mask = _sdf_perframe(world, depths[i], full_projs[i])
+        mask = mask & (sdf > -sdf_trunc)
+        sdf_n = jnp.clip(sdf / sdf_trunc, -1.0, 1.0)
+        w = weights
+        wp = w + 1.0
+        fused = jnp.where(mask, (tsdfs * w + sdf_n) / wp, tsdfs)
+        return fused, jnp.where(mask, wp, w)
+
+    tsdfs0 = jnp.ones_like(mag)
+    w0 = jnp.ones_like(mag)
+    tsdfs, weights = jax.lax.fori_loop(0, depths.shape[0], body, (tsdfs0, w0))
+    return tsdfs, weights
+
+
+def extract_mesh_unbounded(depths, full_projs, xyz, center, radius,
+                           resolution: int = 256):
+    """Contracted-space marching-tetrahedra extraction (≙
+    extract_mesh_unbounded, utils/mesh_utils.py:184-281 +
+    mcube_utils.py:17-94, without the %512 block restriction).
+
+    depths [V, H, W] jnp, full_projs [V, 4, 4], xyz [N, 3] gaussian centers
+    (bounds the marching region at their 95th contracted percentile).
+    Returns (verts [V', 3] world-space, faces [F, 3]).
+    """
+    center = jnp.asarray(center, jnp.float32)
+    voxel_size = 2.0 / resolution
+    rmag = np.asarray(jnp.linalg.norm(
+        contract((jnp.asarray(xyz) - center) / radius), axis=-1))
+    R = float(np.quantile(rmag, 0.95))
+    R = min(R + 0.01, 1.9)
+
+    # dense contracted grid, fused slab-by-slab to bound memory
+    res = resolution
+    axis = np.linspace(-R, R, res, dtype=np.float32)
+    vol_vals = np.ones((res, res, res), np.float32)
+    fuse_j = jax.jit(functools.partial(fuse_unbounded_tsdf))
+    for zi in range(res):
+        zz = axis[zi]
+        xx, yy = np.meshgrid(axis, axis, indexing="ij")       # [res, res]
+        pts = jnp.asarray(np.stack(
+            [xx, yy, np.full_like(xx, zz)], -1).reshape(-1, 3))
+        tsdfs, _ = fuse_j(pts, depths, full_projs, center,
+                          jnp.float32(radius), jnp.float32(voxel_size))
+        vol_vals[:, :, zi] = np.asarray(tsdfs).reshape(res, res)
+
+    # marching tetrahedra in contracted coords (x fastest in our cube table)
+    vol = TSDFVolume(
+        tsdf=jnp.asarray(np.transpose(vol_vals, (2, 1, 0))),  # [z, y, x]
+        weight=jnp.full((res, res, res), 2.0),
+        origin=jnp.asarray([-R - voxel_size * 0.5] * 3),
+        voxel=jnp.asarray((2 * R) / (res - 1), jnp.float32))
+    verts_c, faces = extract_mesh(vol, level=0.0, weight_min=1.0)
+    if len(verts_c) == 0:
+        return verts_c, faces
+    # the extract_mesh grid places corner (i,j,k) at origin + (idx+0.5)*voxel;
+    # undo that offset so vertex 0 sits at -R exactly
+    world = np.asarray(uncontract(jnp.asarray(verts_c))) * radius + np.asarray(center)
+    world = np.clip(world, -32.0, 32.0)                       # max_range clip
+    return world.astype(np.float32), faces
+
+
+def merge_vertices(verts, faces, digits: int = 6):
+    """Weld duplicate vertices (≙ trimesh merge_vertices(digits_vertex=6),
+    mcube_utils.py:89)."""
+    key = np.round(verts, digits)
+    uniq, inv = np.unique(key, axis=0, return_inverse=True)
+    new_faces = inv[faces]
+    # drop degenerate triangles
+    ok = ((new_faces[:, 0] != new_faces[:, 1])
+          & (new_faces[:, 1] != new_faces[:, 2])
+          & (new_faces[:, 0] != new_faces[:, 2]))
+    return uniq.astype(np.float32), new_faces[ok].astype(np.int32)
+
+
+def post_process_mesh(verts, faces, cluster_to_keep: int = 1000):
+    """Keep the largest connected clusters, dropping floaters (≙
+    post_process_mesh, utils/mesh_utils.py:22-43: threshold at the
+    cluster_to_keep-th largest cluster size, floor 50 triangles)."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    verts, faces = merge_vertices(verts, faces)
+    if len(faces) == 0:
+        return verts, faces
+    n = len(verts)
+    rows = np.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
+    cols = np.concatenate([faces[:, 1], faces[:, 2], faces[:, 0]])
+    adj = coo_matrix((np.ones(len(rows)), (rows, cols)), shape=(n, n))
+    _, labels = connected_components(adj, directed=False)
+    tri_label = labels[faces[:, 0]]
+    sizes = np.bincount(tri_label)
+    order = np.sort(sizes)
+    thresh = order[-cluster_to_keep] if len(order) >= cluster_to_keep else 0
+    thresh = max(thresh, 50)
+    keep = sizes[tri_label] >= thresh
+    faces = faces[keep]
+    # reindex to referenced vertices
+    used = np.unique(faces)
+    remap = np.full(n, -1, np.int64)
+    remap[used] = np.arange(len(used))
+    return verts[used], remap[faces].astype(np.int32)
+
+
+def ray_triangle_intersect(rays_o, rays_d, verts, faces, t_min: float = 1e-4):
+    """Exact Möller–Trumbore ray/mesh intersection (numpy test oracle for
+    ray_march_visibility; ≙ the raytracing CUDA caster's semantics,
+    raytracing/src/bvh.cu:138). Returns nearest hit t per ray (inf = miss)."""
+    v0 = verts[faces[:, 0]]
+    e1 = verts[faces[:, 1]] - v0
+    e2 = verts[faces[:, 2]] - v0
+    best = np.full(len(rays_o), np.inf, np.float64)
+    for i in range(len(rays_o)):
+        o, d = rays_o[i], rays_d[i]
+        p = np.cross(d, e2)
+        det = (e1 * p).sum(-1)
+        ok = np.abs(det) > 1e-12
+        inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+        tv = o - v0
+        u = (tv * p).sum(-1) * inv
+        q = np.cross(tv, e1)
+        v = (q * d[None]).sum(-1) * inv
+        t = (e2 * q).sum(-1) * inv
+        hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > t_min)
+        if hit.any():
+            best[i] = t[hit].min()
+    return best
