@@ -21,7 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 import optax
@@ -68,7 +68,7 @@ def stage2_dp_step(mesh: Mesh, st: s2.Stage2Static, optimizer):
         device_step, mesh=mesh,
         in_specs=(rep, rep, shd, shd, shd),
         out_specs=(rep, rep),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -88,4 +88,4 @@ def eval_mc_sharded(mesh: Mesh, shade_fn):
 
     return jax.jit(shard_map(device_fn, mesh=mesh,
                              in_specs=(P(), P(axis)), out_specs=P(),
-                             check_rep=False))
+                             check_vma=False))
