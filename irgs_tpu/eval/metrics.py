@@ -1,10 +1,14 @@
-"""Image metrics: PSNR / SSIM (JAX) + optional VGG-LPIPS.
+"""Image metrics: PSNR / SSIM (JAX) + VGG-LPIPS.
 
 ≙ reference utils/image_utils.py psnr, utils/loss_utils.py ssim, and the
-vendored lpipsPyTorch. Exact LPIPS needs the VGG16 ImageNet weights, which
-this zero-egress image does not ship — `lpips_fn` loads them from
-`IRGS_TPU_VGG16_NPZ` (a .npz of conv weights) when provided and otherwise
-returns None, which eval scripts record as `null` in the metrics json.
+vendored lpipsPyTorch (modules/lpips.py + networks.py VGG16). Exact LPIPS
+needs the VGG16 ImageNet conv weights + the lpips v0.1 linear weights; this
+zero-egress image ships neither, so `lpips_fn` loads them from
+`IRGS_TPU_VGG16_NPZ` (a .npz produced by tools/convert_lpips_weights.py)
+when provided and otherwise returns None, which eval scripts record as
+`null` in the metrics json. The JAX forward is validated bit-for-bit
+against a torch re-implementation of the vendored module on synthetic
+weights (tests/test_golden.py).
 """
 
 from __future__ import annotations
@@ -17,12 +21,17 @@ import numpy as np
 
 from ..train.losses import psnr, ssim  # noqa: F401  (re-export)
 
-_VGG_SLICES = ((0, 2), (2, 4), (4, 7), (7, 10), (10, 13))  # conv indices per block
 _LPIPS_CHANNELS = (64, 128, 256, 512, 512)
-# LPIPS linear-layer weights are part of the lpips distribution; without them
-# we fall back to unit weights over normalized features ("lpips-like").
+# BaseNet z_score buffers (lpipsPyTorch/modules/networks.py:40-44); the
+# vendored module applies them to the caller's [0,1] images directly
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+# VGG16 conv plan: (out_channels | "M" maxpool), capture after the relu of
+# features indices [4, 9, 16, 23, 30] (networks.py:93)
+_VGG_ARCH = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+             512, 512, 512, "M", 512, 512, 512]
+_CAPTURE_RELUS = {1, 3, 6, 10, 14}
 
 
 def load_vgg16_weights():
@@ -33,45 +42,51 @@ def load_vgg16_weights():
 
 
 def _vgg_features(x, weights):
-    """x: [H, W, 3] in [0,1] -> list of 5 normalized feature maps."""
-    h = (x - (_SHIFT + 1) / 2) / _SCALE        # lpips scaling layer
+    """x: [H, W, 3] in [0,1] -> list of 5 channel-normalized feature maps
+    (≙ BaseNet.forward + normalize_activation, networks.py:52-63)."""
+    h = (x - _SHIFT) / _SCALE                   # z_score on [0,1] input
     h = h.transpose(2, 0, 1)[None]
-    feats = []
     conv_idx = 0
-    layer = 0
-    outs = []
-    # VGG16 conv arch: [64,64,M,128,128,M,256,256,256,M,512,512,512,M,512,512,512]
-    arch = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
-            512, 512, 512, "M", 512, 512, 512]
     relu_index = 0
-    capture_at = {1, 3, 6, 10, 14}  # relu indices matching lpips slices
-    for a in arch:
+    outs = []
+    for a in _VGG_ARCH:
         if a == "M":
             h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max,
                                       (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
             continue
-        wkey, bkey = f"conv{conv_idx}_w", f"conv{conv_idx}_b"
-        w = jnp.asarray(weights[wkey])
-        b = jnp.asarray(weights[bkey])
+        w = jnp.asarray(weights[f"conv{conv_idx}_w"])
+        b = jnp.asarray(weights[f"conv{conv_idx}_b"])
         h = jax.lax.conv_general_dilated(h, w, (1, 1), [(1, 1), (1, 1)],
                                          dimension_numbers=("NCHW", "OIHW", "NCHW"))
         h = jax.nn.relu(h + b[None, :, None, None])
-        if relu_index in capture_at:
-            f = h / jnp.maximum(jnp.linalg.norm(h, axis=1, keepdims=True), 1e-10)
-            outs.append(f)
+        if relu_index in _CAPTURE_RELUS:
+            norm = jnp.sqrt(jnp.sum(h * h, axis=1, keepdims=True))
+            outs.append(h / (norm + 1e-10))
         conv_idx += 1
         relu_index += 1
+        if len(outs) == len(_LPIPS_CHANNELS):
+            break
     return outs
 
 
 def lpips_fn(img1, img2, weights=None):
-    """LPIPS(vgg)-style distance or None when no weights are available."""
+    """LPIPS(vgg) distance (≙ LPIPS.forward, modules/lpips.py:30-36):
+    squared feature differences through the lpips 1x1 linear layers
+    (npz keys lin{i}_w, [C]), spatially averaged and summed over blocks.
+    Falls back to unit lin weights ("lpips-like") if only conv weights are
+    present; returns None without weights."""
     weights = weights if weights is not None else load_vgg16_weights()
     if weights is None:
         return None
-    f1 = _vgg_features(img1, weights)
-    f2 = _vgg_features(img2, weights)
+    f1 = _vgg_features(jnp.asarray(img1), weights)
+    f2 = _vgg_features(jnp.asarray(img2), weights)
     dist = 0.0
-    for a, b in zip(f1, f2):
-        dist = dist + jnp.mean(jnp.sum((a - b) ** 2, axis=1))
+    for i, (a, b) in enumerate(zip(f1, f2)):
+        diff = (a - b) ** 2
+        key = f"lin{i}_w"
+        if key in weights:
+            w = jnp.asarray(weights[key]).reshape(1, -1, 1, 1)
+            dist = dist + jnp.mean(jnp.sum(diff * w, axis=1))
+        else:
+            dist = dist + jnp.mean(jnp.sum(diff, axis=1))
     return float(dist)
