@@ -56,14 +56,21 @@ def main():
         with open(scale_path) as f:
             base_scale = jnp.asarray(json.load(f)[str(args.albedo_rescale)])
 
-    info = load_scene(cfg.model.source_path, cfg.model.white_background, True)
+    info = load_scene(cfg.model.source_path, cfg.model.white_background, True,
+                      resolution=cfg.model.resolution)
     cams = info.test_cameras or info.train_cameras
     if args.max_images > 0:
         cams = cams[:args.max_images]
     transform = jnp.asarray(LIGHT_ROTATE_TRANSFORM) if info.light_rotate else None
     h, w = cams[0].height, cams[0].width
 
-    tracer_cfg = gt.TracerConfig(grid_res=cfg.pipe.tracer_grid_res)
+    tracer_cfg = gt.TracerConfig(grid_res=cfg.pipe.tracer_grid_res,
+                                 max_cells=cfg.pipe.tracer_max_cells_eval,
+                                 max_hits=cfg.pipe.tracer_max_hits_eval,
+                                 hit_budget=cfg.pipe.tracer_hit_budget_eval,
+                                 max_crossings=0,
+                                 n_segments=cfg.pipe.tracer_n_segments_eval,
+                                 retrace_frac=cfg.pipe.tracer_retrace_frac_eval)
     grid = gt.build_grid_from_gaussians(params, aux, tracer_cfg)
     fg_lut = cm.compute_fg_lut()
     shade_cfg = ir.ShadeConfig(

@@ -56,15 +56,27 @@ class PipelineConfig:
     transmittance_min: float = 0.03
     alpha_min: float = 1.0 / 255.0
     t_scene_max: float = 100.0
-    # budget defaults chosen from tools/trace_fidelity.py at the bench
-    # workload (100k gaussians, grid 48): vs a 96-hit/full-crossing oracle,
-    # (40 hits, 24 crossings) adds only ~0.002 mean |dcolor| over the prior
-    # (48, 32) while cutting ~75 ms/step; raise for higher-fidelity evals
+    # TRAINING budgets (tools/trace_fidelity.py, 100k gaussians, grid 48):
+    # lean single-pass caps + one 1/8-capacity re-trace round for rays that
+    # truncated while still transmissive (shadow/interreflection rays —
+    # exactly the rays the tracer exists for)
     tracer_grid_res: int = 48
     tracer_max_cells: int = 12
     tracer_max_hits: int = 40
     tracer_hit_budget: int = 16
     tracer_max_crossings: int = 24
+    # segmented re-trace (≙ the OptiX raygen's per-segment loop,
+    # gaussiantrace_forward.cu:27-103); 1 = off
+    tracer_n_segments: int = 2
+    tracer_retrace_frac: float = 0.125
+    # EVAL budgets: the 512+256-spp eval path pays wide candidate budgets +
+    # deeper re-trace for near-oracle fidelity (|dcolor| < 2e-3 vs the
+    # brute-force oracle on the dense stress scene; tools/trace_fidelity.py)
+    tracer_max_cells_eval: int = 24
+    tracer_max_hits_eval: int = 256
+    tracer_hit_budget_eval: int = 32
+    tracer_n_segments_eval: int = 3
+    tracer_retrace_frac_eval: float = 0.5
     # rendering-equation eval chunk (reference: 2**20 point-samples,
     # gaussian_renderer/__init__.py:314)
     eval_chunk_point_samples: int = 2 ** 20

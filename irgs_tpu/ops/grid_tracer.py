@@ -29,12 +29,20 @@ backward** (deterministic scatter-adds into the per-Gaussian arrays and ray
 origins/directions) — no hand-written VJP, unlike the CUDA implementation's
 530-line backward kernel.
 
+The reference's full "re-trace the segment until T < 0.03" semantics
+(gaussiantrace_forward.cu:27-103) are reproduced by **segmented re-trace**
+(TracerConfig.n_segments > 1, `retrace_pass`/`trace_segments`): rays whose
+budgets truncated while still transmissive are compacted and traced again
+from their per-ray restart state (blended-depth watermark, cell frontier,
+candidate offset), with the carried transmittance differentiable so the
+segment products chain exactly like the CUDA running T.
+
 Known deviations (revisit in later rounds):
 * Gaussians spanning more than `span_cap` cells per axis are truncated to a
   centered span_cap³ window.
-* Per-ray budgets: ≤ max_cells non-empty cells and ≤ max_hits candidate
-  intersections (reference: 16-hit k-buffer per segment, re-traced until
-  T < 0.03 — comparable truncation semantics).
+* n_segments bounds the re-trace statically (the reference loops until
+  T < 0.03 or t > 100); retrace_frac bounds how many rays re-trace per
+  round.
 """
 
 from __future__ import annotations
@@ -64,13 +72,17 @@ class TracerConfig:
     max_crossings: int = 0         # per-axis boundary crossings considered
                                    # per ray (0 -> grid_res, exact; ~2/3 of
                                    # grid_res is a safe practical cap)
-    max_steps: int = 256           # unused (kept for config compat)
     span_cap: int = 6              # max cells per axis per gaussian
     transmittance_min: float = 0.03
     alpha_min: float = 1.0 / 255.0
-
-    # back-compat alias (older call sites tuned this)
-    cell_eval_cap: int = 0
+    # segmented re-trace (≙ the CUDA raygen's "re-trace the segment until
+    # T < transmittance_min or t > T_SCENE_MAX", gaussiantrace_forward.cu:
+    # 27-103): rays whose hit list was truncated while still transmissive
+    # get compacted and traced again from past their last blended hit.
+    # n_segments=1 reproduces the round-1 single-pass budgets.
+    n_segments: int = 1
+    retrace_frac: float = 0.25     # capacity of each re-trace pass, as a
+                                   # fraction of the ray count
 
 
 # cell_meta packing: one int32 per cell = (CSR start << 10) | min(count, 1023).
@@ -117,6 +129,39 @@ class TraceOut(NamedTuple):
     feature: jnp.ndarray  # [R, S]
     depth: jnp.ndarray    # [R]
     alpha: jnp.ndarray    # [R]
+    trans: jnp.ndarray    # [R] final transmittance Π(1-αᵢ) over blended hits
+                          # (the re-trace carry; ≙ the CUDA raygen's running T)
+
+
+class Cells(NamedTuple):
+    """Per-ray recorded cell windows from collect_cells."""
+    starts: jnp.ndarray     # [R, C] CSR start per recorded cell
+    counts: jnp.ndarray     # [R, C] gaussians in the cell (0 = unused slot)
+    tin: jnp.ndarray        # [R, C] window entry t
+    tout: jnp.ndarray       # [R, C] window exit t
+    truncated: jnp.ndarray  # [R] bool: more non-empty cells existed than C,
+                            # or the crossing budget ended inside the grid
+    resume: jnp.ndarray     # [R] traversal horizon to resume from when the
+                            # crossing budget truncated (0 otherwise)
+
+
+class SelectedHits(NamedTuple):
+    """Depth-ordered k-buffer from select_hits (index-only, detached)."""
+    gs: jnp.ndarray       # [R, kb] gaussian ids
+    valid: jnp.ndarray    # [R, kb] accepted mask
+    t_last: jnp.ndarray   # [R] depth of the farthest kept hit (0 if none);
+                          # re-trace ACCEPTANCE restart (excludes re-blends)
+    t_cell: jnp.ndarray   # [R] re-trace COLLECTION restart: cells whose
+                          # candidates were all examined can be skipped, so
+                          # the next segment makes progress even when
+                          # nothing was accepted
+    more: jnp.ndarray     # [R] bool: the hit list was truncated (accepted
+                          # candidates beyond the k-buffer, the candidate
+                          # cap, or the recorded-cell cap)
+    cand_skip: jnp.ndarray  # [R] candidates of the first cell at t_cell
+                          # already examined — the re-trace skips them, so
+                          # a single cell holding more than max_hits
+                          # candidates still makes progress
 
 
 def bounding_radius(opacity, scales, alpha_min: float):
@@ -127,7 +172,16 @@ def bounding_radius(opacity, scales, alpha_min: float):
 
 @functools.partial(jax.jit, static_argnames=("grid_res", "pair_capacity", "span_cap"))
 def build_grid(means3d, radius, alive, *, grid_res: int, pair_capacity: int,
-               span_cap: int = 6) -> Grid:
+               span_cap: int = 6, normals=None) -> Grid:
+    """Uniform grid over per-Gaussian bounding spheres.
+
+    With `normals` given, cells are culled to those the surfel's DISK PLANE
+    actually passes through (slab test |n·(c−μ)| ≤ extent(n) + radial
+    bound): a flat 2D surfel overlaps O(span²) of its bounding cube's
+    span³ cells, so this cuts both per-cell candidate counts and pair
+    capacity pressure ~2-3x — the grid analog of OptiX's triangle-proxy
+    tightness (bounding icosahedra, scene/gaussian_model.py:712-723).
+    """
     g = grid_res
     n = means3d.shape[0]
     r = jnp.where(alive, radius, 0.0)
@@ -144,20 +198,78 @@ def build_grid(means3d, radius, alive, *, grid_res: int, pair_capacity: int,
     # oversized gaussians: keep a span_cap window centered on the center cell
     cc = jnp.clip(jnp.floor((means3d - bb_min) * inv_cell).astype(jnp.int32), 0, g - 1)
     lo = jnp.clip(cc - (span - 1) // 2, lo, hi - span + 1)
-    count = jnp.where(alive & (r > 0), span[:, 0] * span[:, 1] * span[:, 2], 0)
-
-    cum = jnp.cumsum(count)
-    total = cum[-1]
-    offsets = cum - count
 
     from .surfel_raster import counts_by_id, rank_against_arange
     slots = jnp.arange(pair_capacity, dtype=jnp.int32)
-    gi = jnp.minimum(rank_against_arange(cum, pair_capacity), n - 1)
-    local = slots - offsets[gi]
-    sx, sy = span[gi, 0], span[gi, 1]
-    cx = lo[gi, 0] + local % sx
-    cy = lo[gi, 1] + (local // sx) % sy
-    cz = lo[gi, 2] + local // (sx * sy)
+
+    if normals is not None:
+        # per-gaussian exact kept-cell mask over the unrolled span_cap³
+        # window: disk-slab + radial cull BEFORE capacity accounting, so the
+        # pair capacity is spent only on cells a hit can actually occur in
+        W = span_cap
+        off = jnp.arange(W, dtype=jnp.int32)
+        wx_all = (off[:, None, None] * jnp.ones((1, W, W), jnp.int32)).reshape(-1)
+        wy_all = (off[None, :, None] * jnp.ones((W, 1, W), jnp.int32)).reshape(-1)
+        wz_all = (off[None, None, :] * jnp.ones((W, W, 1), jnp.int32)).reshape(-1)
+        in_win = ((wx_all[None] < span[:, 0:1]) & (wy_all[None] < span[:, 1:2])
+                  & (wz_all[None] < span[:, 2:3]))            # [N, W³]
+        cxw = (lo[:, 0:1] + wx_all[None]).astype(jnp.float32)
+        cyw = (lo[:, 1:2] + wy_all[None]).astype(jnp.float32)
+        czw = (lo[:, 2:3] + wz_all[None]).astype(jnp.float32)
+        dx = bb_min[0] + (cxw + 0.5) * cell[0] - means3d[:, 0:1]
+        dy = bb_min[1] + (cyw + 0.5) * cell[1] - means3d[:, 1:2]
+        dz = bb_min[2] + (czw + 0.5) * cell[2] - means3d[:, 2:3]
+        plane = jnp.abs(dx * normals[:, 0:1] + dy * normals[:, 1:2]
+                        + dz * normals[:, 2:3])
+        slab = 0.5 * (jnp.abs(normals[:, 0:1]) * cell[0]
+                      + jnp.abs(normals[:, 1:2]) * cell[1]
+                      + jnp.abs(normals[:, 2:3]) * cell[2])
+        rad2 = dx * dx + dy * dy + dz * dz
+        rmax = (r + 0.5 * jnp.linalg.norm(cell))[:, None]
+        keep = in_win & (plane <= slab) & (rad2 <= rmax * rmax)
+        keep = keep & (alive & (r > 0))[:, None]
+        kcum = jnp.cumsum(keep.astype(jnp.int32), axis=-1)    # [N, W³]
+        count = kcum[:, -1]
+
+        cum = jnp.cumsum(count)
+        total = cum[-1]
+        offsets = cum - count
+        gi = jnp.minimum(rank_against_arange(cum, pair_capacity), n - 1)
+        local = slots - offsets[gi]
+        # slot -> local-th kept window index, via 8-step binary search on the
+        # gaussian's kcum row (flat scalar gathers; a full [B, W³] row gather
+        # would be gigabytes)
+        kflat = kcum.reshape(-1)
+        lo_w = jnp.zeros_like(slots)
+        hi_w = jnp.full_like(slots, W ** 3 - 1)
+
+        def bstep(_, lh):
+            lo_i, hi_i = lh
+            mid = (lo_i + hi_i) // 2
+            val = kflat[gi * (W ** 3) + mid]
+            gt_ = val > local
+            return jnp.where(gt_, lo_i, mid + 1), jnp.where(gt_, mid, hi_i)
+
+        import math as _math
+        n_steps = max(1, int(_math.ceil(_math.log2(W ** 3))))
+        lo_w, hi_w = jax.lax.fori_loop(0, n_steps, bstep, (lo_w, hi_w))
+        windex = lo_w
+        cx = lo[gi, 0] + wx_all[windex]
+        cy = lo[gi, 1] + wy_all[windex]
+        cz = lo[gi, 2] + wz_all[windex]
+    else:
+        count = jnp.where(alive & (r > 0),
+                          span[:, 0] * span[:, 1] * span[:, 2], 0)
+        cum = jnp.cumsum(count)
+        total = cum[-1]
+        offsets = cum - count
+        gi = jnp.minimum(rank_against_arange(cum, pair_capacity), n - 1)
+        local = slots - offsets[gi]
+        sx, sy = span[gi, 0], span[gi, 1]
+        cx = lo[gi, 0] + local % sx
+        cy = lo[gi, 1] + (local // sx) % sy
+        cz = lo[gi, 2] + local // (sx * sy)
+
     cell_id = (cz * g + cy) * g + cx
     cell_id = jnp.where(slots < total, cell_id, g * g * g)
 
@@ -172,11 +284,15 @@ def build_grid(means3d, radius, alive, *, grid_res: int, pair_capacity: int,
 
 def build_grid_from_gaussians(params, aux, cfg: TracerConfig) -> Grid:
     """Convenience: ≙ GaussianModel.build_bvh/update_bvh
-    (scene/gaussian_model.py:725-731)."""
+    (scene/gaussian_model.py:725-731). Surfel normals enable the disk-slab
+    insertion cull (sign irrelevant — the slab test is two-sided)."""
+    from ..utils.math3d import quat_to_rotmat
     radius = bounding_radius(params.get_opacity()[:, 0], params.get_scaling(),
                              cfg.alpha_min)
+    normals = quat_to_rotmat(params.rotation)[:, :, 2]
     return build_grid(params.xyz, radius, aux.alive, grid_res=cfg.grid_res,
-                      pair_capacity=cfg.pair_capacity, span_cap=cfg.span_cap)
+                      pair_capacity=cfg.pair_capacity, span_cap=cfg.span_cap,
+                      normals=normals)
 
 
 # ---------------------------------------------------------------------------
@@ -197,6 +313,30 @@ def _hit_geom(mean, opa, ru, rv, nrm, ray_o, ray_d):
     cosr = -jnp.sum(ray_d * nrm, axis=-1)
     n_flip = jnp.where((cosr > 0)[..., None], nrm, -nrm)
     return alpha, n_flip, d
+
+
+def _hit_geom_cols(cols, ray_o, ray_d):
+    """Componentwise hit math on a transposed candidate slab.
+
+    cols [13, R, H] (mean3 | opacity | ru3 | rv3 | normal3), ray_o/ray_d
+    [R, 3]. Returns (alpha, depth, d·n) each [R, H]. Same math as
+    _hit_geom, laid out so the candidate axis lives in vector lanes.
+    """
+    ox, oy, oz = ray_o[:, 0:1], ray_o[:, 1:2], ray_o[:, 2:3]
+    dx, dy, dz = ray_d[:, 0:1], ray_d[:, 1:2], ray_d[:, 2:3]
+    mx, my, mz = cols[0], cols[1], cols[2]
+    opa = cols[3]
+    nx, ny, nz = cols[10], cols[11], cols[12]
+    o_g = nx * (ox - mx) + ny * (oy - my) + nz * (oz - mz)
+    d_g = nx * dx + ny * dy + nz * dz
+    d = -o_g * d_g / jnp.maximum(1e-6, d_g * d_g)
+    px = ox + d * dx - mx
+    py = oy + d * dy - my
+    pz = oz + d * dz - mz
+    pu = cols[4] * px + cols[5] * py + cols[6] * pz
+    pv = cols[7] * px + cols[8] * py + cols[9] * pz
+    alpha = jnp.minimum(0.99, opa * jnp.exp(-0.5 * (pu * pu + pv * pv)))
+    return alpha, d, d_g
 
 
 def _sh_basis(sh_deg: int, dirs):
@@ -235,7 +375,7 @@ def _hit_quantities(mean, opa, ru, rv, nrm, sh, feat, ray_o, ray_d, sh_deg: int)
 # phase 1: DDA cell collection (integer-only traffic)
 # ---------------------------------------------------------------------------
 
-def _ray_setup(ray_o, ray_d, grid: Grid, grid_res: int):
+def _ray_setup(ray_o, ray_d, grid: Grid, grid_res: int, t_start=None):
     g = grid_res
     bb_max = grid.bb_min + grid.cell_size * g
     inv_d = jnp.where(jnp.abs(ray_d) < 1e-12, INF, 1.0 / ray_d)
@@ -244,6 +384,12 @@ def _ray_setup(ray_o, ray_d, grid: Grid, grid_res: int):
     t0 = jnp.max(jnp.minimum(t_lo, t_hi), axis=-1)
     t1 = jnp.min(jnp.maximum(t_lo, t_hi), axis=-1)
     t_enter = jnp.maximum(t0, 1e-6)
+    if t_start is not None:
+        # re-trace: restart the DDA at the resume point so the crossing
+        # budget covers a FRESH traversal window (without this, every
+        # segment would re-enumerate the same initial crossings and rays
+        # truncated by max_crossings could never make progress)
+        t_enter = jnp.maximum(t_enter, t_start)
     hit_box = t1 > t_enter
 
     p = ray_o + (t_enter[:, None] + 1e-5) * ray_d
@@ -255,9 +401,11 @@ def _ray_setup(ray_o, ray_d, grid: Grid, grid_res: int):
     return cell, sgn, tdelta, tmax, t_enter, t1, hit_box
 
 
-def collect_cells(ray_o, ray_d, grid: Grid, cfg: TracerConfig):
-    """[R] rays -> per-ray (cell_start, cell_count, t_in, t_out) of up to
-    max_cells non-empty cells in traversal order. Non-differentiable.
+def collect_cells(ray_o, ray_d, grid: Grid, cfg: TracerConfig,
+                  t_start=None) -> Cells:
+    """[R] rays -> Cells: up to max_cells non-empty cells in traversal
+    order. Non-differentiable. `t_start` [R] restricts to windows ending
+    past it (the re-trace restart point).
 
     LOOP-FREE: a DDA trajectory is the merge of three arithmetic sequences
     of axis-boundary crossing times, so the entire visited-cell list is one
@@ -272,7 +420,7 @@ def collect_cells(ray_o, ray_d, grid: Grid, cfg: TracerConfig):
     S = 3 * k_ax  # merged boundary crossings considered
 
     cell0, sgn, tdelta, tmax, t_enter, t_exit, hit_box = _ray_setup(
-        ray_o, ray_d, grid, g)
+        ray_o, ray_d, grid, g, t_start=t_start)
 
     # crossing times per axis: tmax_a + k*tdelta_a  -> [R, 3, k_ax]
     k = jnp.arange(k_ax, dtype=jnp.float32)
@@ -300,6 +448,19 @@ def collect_cells(ray_o, ray_d, grid: Grid, cfg: TracerConfig):
     in_bounds = jnp.all((cells_j >= 0) & (cells_j < g), axis=-1)
     seg_valid = (in_bounds & hit_box[:, None]
                  & (t_in_j < t_out_j) & (t_in_j < t_exit[:, None]))
+    # crossing-budget horizon: if the ray would cross more boundaries than
+    # the max_crossings budget enumerates, the trailing segment's window
+    # [last crossing, box exit) spans cells that were never identified —
+    # drop it and flag the traversal incomplete so a re-trace resumes there
+    horizon = t_sorted[:, -1]
+    incomplete = hit_box & (horizon < t_exit)
+    last_col = jnp.arange(S + 1, dtype=jnp.int32)[None] == S
+    seg_valid = seg_valid & ~(last_col & incomplete[:, None])
+    if t_start is not None:
+        # re-trace restart: only windows that end past t_start matter; the
+        # entry edge is clipped so hit acceptance starts at the restart point
+        seg_valid = seg_valid & (t_out_j > t_start[:, None])
+        t_in_j = jnp.maximum(t_in_j, t_start[:, None])
     cc = jnp.clip(cells_j, 0, g - 1)
     cid = (cc[..., 2] * g + cc[..., 1]) * g + cc[..., 0]
     cell_start, cell_cnt = unpack_cell_meta(grid.cell_meta[cid])  # one flat gather
@@ -315,7 +476,10 @@ def collect_cells(ray_o, ray_d, grid: Grid, cfg: TracerConfig):
         (key, cell_start, cnt, t_in_j, t_out_j),
         num_keys=1, dimension=-1, is_stable=False)
     # after the sort, slots past the last non-empty segment carry cnt == 0
-    return starts_p[:, :C], counts_p[:, :C], tin_p[:, :C], tout_p[:, :C]
+    truncated = (jnp.sum(nonempty.astype(jnp.int32), axis=-1) > C) | incomplete
+    resume = jnp.where(incomplete, horizon, 0.0)
+    return Cells(starts_p[:, :C], counts_p[:, :C], tin_p[:, :C],
+                 tout_p[:, :C], truncated, resume)
 
 
 # ---------------------------------------------------------------------------
@@ -330,72 +494,130 @@ def _pack_geom(inputs: TraceInputs):
          inputs.normals], axis=-1)                       # [N, 13]
 
 
-def select_hits(ray_o, ray_d, sorted_gauss, cells, geom, cfg: TracerConfig,
-                back_culling: bool):
+def select_hits(ray_o, ray_d, sorted_gauss, cells: Cells, geom,
+                cfg: TracerConfig, back_culling: bool,
+                t_start=None, cand_skip=None) -> SelectedHits:
     """Index-only hit selection: expand recorded cells into candidates,
     evaluate acceptance, depth-sort, keep the nearest `hit_budget` hits.
-    Returns (gs_s [R, kb] gaussian ids in depth order, valid_s [R, kb]).
 
     Non-differentiable by design — the backward pass replays a FIXED hit
     list, exactly like the CUDA backward raygen re-traverses the forward's
     hits (gaussiantrace_backward.cu:11-171). Callers run this once outside
     the AD region (analogous to collect_cells), so the expensive 48-wide
     candidate expansion, gather, and sort never appear in the backward.
+
+    `t_start` [R]: only accept hits strictly past it (re-trace restart).
+    `cand_skip` [R]: skip that many candidates of the FIRST recorded cell
+    (they were examined by the previous segment).
     """
-    starts, counts, tin, tout = cells
+    starts, counts, tin, tout = (cells.starts, cells.counts,
+                                 cells.tin, cells.tout)
+    if cand_skip is not None:
+        skip0 = jnp.minimum(cand_skip, counts[:, 0])
+        starts = starts.at[:, 0].add(skip0)
+        counts = counts.at[:, 0].add(-skip0)
     R, C = starts.shape
     H = cfg.max_hits
 
     cum = jnp.cumsum(counts, axis=-1)                     # [R, C]
     excl = cum - counts
     h = jnp.arange(H, dtype=jnp.int32)[None]              # [1, H]
-    # candidate h belongs to cell c(h): number of cells with cum <= h.
-    # Per-cell attributes are fetched with a one-hot contraction over the
-    # small C axis — take_along_axis lowers to a pathologically slow gather
-    # on this backend.
-    cmp = (cum[:, None, :] <= h[..., None])               # [R, H, C]
-    cidx = jnp.sum(cmp.astype(jnp.int32), axis=-1)
-    onehot = (cidx[..., None] == jnp.arange(C, dtype=jnp.int32)).astype(jnp.float32)
+    # candidate h belongs to cell c(h) = #{cells with cum <= h}; built by an
+    # unrolled loop over the small static C axis — a [R, H, C] one-hot cube
+    # is gigabytes at wide H, and take_along_axis lowers to a pathologically
+    # slow gather on this backend.
+    cidx = jnp.zeros(counts.shape[:1] + (H,), jnp.int32)
+    for c in range(C):
+        cidx = cidx + (cum[:, c:c + 1] <= h).astype(jnp.int32)
 
     def take_rc(x):
-        return jnp.einsum("rc,rhc->rh", x.astype(jnp.float32), onehot,
-                          precision=jax.lax.Precision.HIGHEST)
+        out = jnp.broadcast_to(x[:, C - 1:C], cidx.shape)
+        for c in range(C - 1):
+            out = jnp.where(cidx == c, x[:, c:c + 1], out)
+        return out
 
-    offset = h - take_rc(excl).astype(jnp.int32)
-    pos = take_rc(starts).astype(jnp.int32) + offset
-    valid = (h < cum[:, -1:]) & (cidx < C) & (offset < take_rc(counts).astype(jnp.int32))
+    offset = h - take_rc(excl)
+    pos = take_rc(starts) + offset
+    valid = (h < cum[:, -1:]) & (cidx < C) & (offset < take_rc(counts))
     pos = jnp.clip(pos, 0, sorted_gauss.shape[0] - 1)
     gs = sorted_gauss[pos]
     t_in_h = take_rc(tin)
     t_out_h = take_rc(tout)
 
-    geom_g = geom[gs]                                     # [R, H, 13]
-    alpha, _, d = _hit_geom(
-        geom_g[..., 0:3], geom_g[..., 3], geom_g[..., 4:7], geom_g[..., 7:10],
-        geom_g[..., 10:13], ray_o[:, None], ray_d[:, None])
+    # transposed gather [13, R, H]: candidate axis in lanes, so the gather
+    # and every per-component slice stay tile-dense (an [R, H, 13] layout
+    # pads 10-128x under (8,128) tiling — gigabytes at wide H)
+    geom_t = geom.T                                       # [13, N]
+    cols = geom_t[:, gs.reshape(-1)].reshape(13, *gs.shape)
+    alpha, d, d_dot_n = _hit_geom_cols(cols, ray_o, ray_d)
     accept = (valid & (alpha >= cfg.alpha_min)
               & (d >= jnp.maximum(t_in_h, 1e-6)) & (d < t_out_h))
+    if t_start is not None:
+        accept = accept & (d > t_start[:, None])
     if back_culling:
-        accept = accept & (jnp.sum(ray_d[:, None] * geom_g[..., 10:13], -1) < 0)
+        accept = accept & (d_dot_n < 0)
 
     # depth sort: one multi-operand lax.sort carrying payloads (fast native
     # TPU sort) instead of argsort + take_along_axis
     d_key = jnp.where(accept, d, INF)
-    _, gs_s, acc_s = jax.lax.sort(
+    d_s, gs_s, acc_s = jax.lax.sort(
         (d_key, gs, accept.astype(jnp.int32)),
         num_keys=1, dimension=-1, is_stable=False)
     # k-buffer: keep only the nearest hit_budget accepted hits (rejected
     # candidates sorted to the end); T saturates within ~16 hits anyway
     kb = min(cfg.hit_budget, H)
-    return gs_s[:, :kb], acc_s[:, :kb] > 0
+    valid_kb = acc_s[:, :kb] > 0
+    # re-trace metadata: restart points + was anything dropped?
+    n_accepted = jnp.sum(accept, axis=-1)
+    t_last = jnp.max(jnp.where(valid_kb, d_s[:, :kb], 0.0), axis=-1)
+    more = ((n_accepted > kb)
+            | (cum[:, -1] > H)      # candidate expansion truncated
+            | cells.truncated)      # recorded-cell list truncated
+    # collection frontier: the exit t of the last cell whose candidates all
+    # fit within the H-cap — those cells are fully examined and the next
+    # segment can skip them. When the k-buffer overflowed, dropped accepted
+    # hits may live inside examined cells, so the frontier must stay at
+    # t_last (their windows still overlap it).
+    fully_examined = (cum <= H) & (counts > 0)
+    tout_frontier = jnp.max(jnp.where(fully_examined, tout, 0.0), axis=-1)
+    # when every recorded candidate was examined, the resume point may jump
+    # to the traversal horizon (covers crossing-budget truncation with few
+    # or zero recorded cells)
+    all_examined = cum[:, -1] <= H
+    frontier = jnp.where(all_examined,
+                         jnp.maximum(tout_frontier, cells.resume),
+                         tout_frontier)
+    overflowed = n_accepted > kb
+    t_cell = jnp.where(overflowed, t_last, jnp.maximum(t_last, frontier))
+    # candidates of the partially-examined cell at the frontier already
+    # consumed: H minus the candidates of the fully-examined cells. In
+    # overflow mode the re-trace must re-visit examined cells (dropped
+    # accepted hits live there), so nothing is skipped.
+    n_before = jnp.max(jnp.where(fully_examined, cum, 0), axis=-1)
+    skip_next = jnp.where(overflowed | all_examined, 0,
+                          jnp.maximum(H - n_before, 0))
+    # ... and only valid while the frontier cell is first in the re-collect,
+    # i.e. when no accepted hit moved t_cell past the frontier
+    skip_next = jnp.where(t_cell > frontier, 0, skip_next)
+    if cand_skip is not None:
+        # offsets chain across segments while the FIRST cell stays partial
+        # (no cell fully examined this pass ⇒ frontier did not advance)
+        same_cell = ~overflowed & ~all_examined & (n_before == 0)
+        skip_next = skip_next + jnp.where(same_cell, skip0, 0)
+    return SelectedHits(gs_s[:, :kb], valid_kb, t_last, t_cell, more,
+                        skip_next)
 
 
 def blend_hits(ray_o, ray_d, inputs: TraceInputs, gs_s, valid_s,
-               cfg: TracerConfig, sh_deg: int):
+               cfg: TracerConfig, sh_deg: int, t0=None):
     """Differentiable front-to-back blend of a pre-selected, depth-ordered
     hit list (≙ the per-hit accumulation of gaussiantrace_forward.cu:61-97;
     its backward — deterministic scatter-adds at k-buffer width — comes from
-    plain JAX AD). Gradients flow to every TraceInputs field and ray o/d."""
+    plain JAX AD). Gradients flow to every TraceInputs field and ray o/d.
+
+    `t0` [R]: incoming transmittance carried from the previous segment
+    (differentiable — the segment products chain exactly as the CUDA
+    raygen's single running T does)."""
     n_coeff = (sh_deg + 1) ** 2
     geom_g = _pack_geom(inputs)[gs_s]                     # [R, kb, 13]
     alpha, n_flip, d = _hit_geom(
@@ -405,6 +627,8 @@ def blend_hits(ray_o, ray_d, inputs: TraceInputs, gs_s, valid_s,
 
     lg = jnp.log1p(-alpha)
     T_in = jnp.exp(jnp.cumsum(lg, -1) - lg)
+    if t0 is not None:
+        T_in = T_in * t0[:, None]
     w = alpha * T_in
     # CUDA stops accumulating once T < transmittance_min
     # (gaussiantrace_forward.cu:95-97)
@@ -416,12 +640,16 @@ def blend_hits(ray_o, ray_d, inputs: TraceInputs, gs_s, valid_s,
         jnp.einsum("rc,rhcd->rhd", basis, sh_g) + 0.5, 0.0)
     feat = inputs.features[gs_s]
 
+    trans = jnp.exp(jnp.sum(lg, -1))
+    if t0 is not None:
+        trans = trans * t0
     return TraceOut(
         color=jnp.einsum("rh,rhd->rd", w, color),
         normal=jnp.einsum("rh,rhd->rd", w, n_flip),
         feature=jnp.einsum("rh,rhs->rs", w, feat),
         depth=jnp.sum(w * d, -1),
         alpha=jnp.sum(w, -1),
+        trans=trans,
     )
 
 
@@ -443,8 +671,112 @@ def trace(ray_o, ray_d, grid: Grid, inputs: TraceInputs, *, cfg: TracerConfig,
         geom = jax.lax.stop_gradient(_pack_geom(inputs))
         hits = select_hits(ro, rd, grid.sorted_gauss, cells, geom, cfg,
                            back_culling)
-    gs_s, valid_s = hits
-    return blend_hits(ray_o, ray_d, inputs, gs_s, valid_s, cfg, sh_deg)
+    return blend_hits(ray_o, ray_d, inputs, hits.gs, hits.valid, cfg, sh_deg)
+
+
+def retrace_pass(out: TraceOut, hits: SelectedHits, ray_o, ray_d, grid: Grid,
+                 inputs: TraceInputs, cfg: TracerConfig, sh_deg: int,
+                 capacity: int, back_culling: bool = False):
+    """One compacted re-trace round (≙ the CUDA raygen's next k-buffer
+    segment, gaussiantrace_forward.cu:27-103).
+
+    Rays still transmissive (T > transmittance_min) whose hit list was
+    truncated get gathered into a fixed `capacity`-sized batch, traced again
+    from just past their last blended hit with the carried transmittance,
+    and scatter-added back. Returns (out', hits' with updated t_last/more).
+    The carried T is differentiable, so gradients chain across segments
+    exactly as through the reference's single running product.
+    """
+    ro = jax.lax.stop_gradient(ray_o)
+    rd = jax.lax.stop_gradient(ray_d)
+    need = hits.more & (jax.lax.stop_gradient(out.trans)
+                        > cfg.transmittance_min)
+    # compaction: top-k on the boolean picks `capacity` needing rays
+    score = need.astype(jnp.float32)
+    _, idx = jax.lax.top_k(score, capacity)
+    picked = need[idx]                                     # [capacity]
+
+    # two restart thresholds: collection skips fully-examined cells (so the
+    # segment makes progress even with zero accepted hits), acceptance
+    # excludes only already-blended hits
+    t_accept = hits.t_last[idx] * (1.0 + 1e-5) + 1e-6
+    t_collect = jnp.maximum(hits.t_cell[idx], 0.0)
+    geom = jax.lax.stop_gradient(_pack_geom(inputs))
+
+    def sel(ro_i, rd_i, t_c, t_a, skip_i):
+        cells2 = collect_cells(ro_i, rd_i, grid, cfg, t_start=t_c)
+        return select_hits(ro_i, rd_i, grid.sorted_gauss, cells2, geom, cfg,
+                           back_culling, t_start=t_a, cand_skip=skip_i)
+
+    # bound the [rays, max_hits] candidate working set like make_trace_fn's
+    # select chunking (wide-candidate configs would otherwise allocate
+    # gigabytes here)
+    chunk_cap = max(2 ** 12, (2 ** 18 * 48) // max(cfg.max_hits, 48))
+    args = (ro[idx], rd[idx], t_collect, t_accept, hits.cand_skip[idx])
+    if capacity > chunk_cap:
+        n_g = -(-capacity // chunk_cap)
+        pad = n_g * chunk_cap - capacity
+        padded = tuple(jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+                       for a in args)
+        grouped = tuple(a.reshape(n_g, chunk_cap, *a.shape[1:]) for a in padded)
+        h2 = jax.lax.map(lambda ab: sel(*ab), grouped)
+        h2 = jax.tree.map(
+            lambda x: x.reshape(n_g * chunk_cap, *x.shape[2:])[:capacity], h2)
+    else:
+        h2 = sel(*args)
+    valid2 = h2.valid & picked[:, None]
+    seg = blend_hits(ray_o[idx], ray_d[idx], inputs, h2.gs, valid2, cfg,
+                     sh_deg, t0=out.trans[idx])
+
+    add2 = lambda a, b: a.at[idx].add(jnp.where(picked[:, None], b, 0.0))
+    add1 = lambda a, b: a.at[idx].add(jnp.where(picked, b, 0.0))
+    new_out = TraceOut(
+        color=add2(out.color, seg.color),
+        normal=add2(out.normal, seg.normal),
+        feature=add2(out.feature, seg.feature),
+        depth=add1(out.depth, seg.depth),
+        alpha=add1(out.alpha, seg.alpha),
+        trans=out.trans.at[idx].set(
+            jnp.where(picked, seg.trans, out.trans[idx])),
+    )
+    # the new acceptance restart must never move backwards (h2.t_last is 0
+    # when the segment accepted nothing)
+    new_hits = SelectedHits(
+        gs=hits.gs, valid=hits.valid,
+        t_last=hits.t_last.at[idx].set(
+            jnp.where(picked, jnp.maximum(h2.t_last, hits.t_last[idx]),
+                      hits.t_last[idx])),
+        t_cell=hits.t_cell.at[idx].set(
+            jnp.where(picked, jnp.maximum(h2.t_cell, hits.t_cell[idx]),
+                      hits.t_cell[idx])),
+        more=hits.more.at[idx].set(jnp.where(picked, h2.more, False)),
+        cand_skip=hits.cand_skip.at[idx].set(
+            jnp.where(picked, h2.cand_skip, hits.cand_skip[idx])),
+    )
+    return new_out, new_hits
+
+
+def trace_segments(ray_o, ray_d, grid: Grid, inputs: TraceInputs, *,
+                   cfg: TracerConfig, sh_deg: int,
+                   back_culling: bool = False) -> TraceOut:
+    """Differentiable trace with the reference's full re-trace semantics:
+    after the first k-buffer blend, up to cfg.n_segments - 1 compacted
+    re-trace rounds extend truncated rays until T < transmittance_min
+    (≙ gaussiantrace_forward.cu:27-103's unbounded per-segment loop,
+    bounded here by a static segment count + per-round capacity)."""
+    ro = jax.lax.stop_gradient(ray_o)
+    rd = jax.lax.stop_gradient(ray_d)
+    cells = collect_cells(ro, rd, grid, cfg)
+    geom = jax.lax.stop_gradient(_pack_geom(inputs))
+    hits = select_hits(ro, rd, grid.sorted_gauss, cells, geom, cfg,
+                       back_culling)
+    out = blend_hits(ray_o, ray_d, inputs, hits.gs, hits.valid, cfg, sh_deg)
+    r = ray_o.shape[0]
+    capacity = max(1, min(r, int(r * cfg.retrace_frac)))
+    for _ in range(max(0, cfg.n_segments - 1)):
+        out, hits = retrace_pass(out, hits, ray_o, ray_d, grid, inputs, cfg,
+                                 sh_deg, capacity, back_culling)
+    return out
 
 
 def trace_forward_only(ray_o, ray_d, grid, inputs, *, cfg: TracerConfig,
@@ -496,6 +828,7 @@ def trace_reference(ray_o, ray_d, inputs: TraceInputs, alive, *,
         feature=jnp.einsum("rk,rks->rs", w, take3(feat)),
         depth=jnp.sum(w * take2(d), -1),
         alpha=jnp.sum(w, -1),
+        trans=jnp.exp(jnp.sum(lg, -1)),
     )
 
 
@@ -512,4 +845,5 @@ def normalize_trace(out: TraceOut, transmittance_min: float) -> TraceOut:
         feature=jnp.where(sat, out.feature / safe, out.feature),
         depth=jnp.where(sat[:, 0], out.depth / safe[:, 0], out.depth),
         alpha=jnp.where(sat[:, 0], 1.0, out.alpha),
+        trans=out.trans,
     )

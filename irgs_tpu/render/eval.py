@@ -33,6 +33,7 @@ class EvalConfig:
     white_background: bool = False
     dup_capacity: int = 2 ** 21
     chunk_point_samples: int = 2 ** 20     # reference chunk budget
+    depth_ratio: float = 0.0
     tracer: gt.TracerConfig = dataclasses.field(default_factory=gt.TracerConfig)
 
     @property
@@ -55,7 +56,8 @@ def render_ir_eval(params, aux, grid, cam: CameraParams, cfg: EvalConfig,
         jnp.zeros((params.n_capacity, 2)), cam, jnp.zeros(3),
         img_w=w, img_h=h, active_sh_degree=cfg.active_sh_degree,
         dup_capacity=cfg.dup_capacity, alive=aux.alive)
-    maps = ir.derive_geometry_maps(raster, cam, w, h)
+    maps = ir.derive_geometry_maps(raster, cam, w, h,
+                                   depth_ratio=cfg.depth_ratio)
     alpha = maps["alpha"]
 
     env_raw = params.env if env_override is None else env_override

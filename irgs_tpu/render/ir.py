@@ -212,14 +212,22 @@ def make_trace_fn(params, aux, grid, tracer_cfg: gt.TracerConfig,
             rop_c = rop.reshape(-1, ray_chunk, 3)
             rdp_c = rdp.reshape(-1, ray_chunk, 3)
             n_chunks = rop_c.shape[0]
-            # hit selection runs in as few calls as HBM allows: its candidate
-            # expansion holds a [rays, max_hits, 13] gather whose lane-padded
-            # footprint caps rays-per-call at ~2^18 (the training ray budget
-            # selects in ONE call; the 10^6-ray eval path chunks)
-            k = min(n_chunks, max(1, 2 ** 18 // ray_chunk))
-            while n_chunks % k:
-                k -= 1
-            sel_rays = ray_chunk * k
+            # hit selection runs in as few calls as HBM allows: its working
+            # set is ~6 [rays, max_hits] f32 arrays, so the rays-per-call
+            # budget scales inversely with the candidate width (the training
+            # ray budget selects in ONE call at the default width; wide-
+            # candidate eval configs and the 10^6-ray eval path chunk)
+            target = max(2 ** 12, (2 ** 18 * 48) // max(tracer_cfg.max_hits, 48))
+            if target >= ray_chunk:
+                k = min(n_chunks, max(1, target // ray_chunk))
+                while n_chunks % k:
+                    k -= 1
+                sel_rays = ray_chunk * k
+            else:
+                # wide-candidate configs: select over sub-chunk ray groups
+                sel_rays = ray_chunk
+                while sel_rays > target and sel_rays % 2 == 0 and sel_rays > 2 ** 12:
+                    sel_rays //= 2
             n_sel = rop.shape[0] // sel_rays
             if n_sel == 1:
                 hits = gt.select_hits(ro_sg, rd_sg, grid.sorted_gauss, cells,
@@ -254,8 +262,23 @@ def make_trace_fn(params, aux, grid, tracer_cfg: gt.TracerConfig,
                                         hits=ab[2]),
                     (rop_c, rdp_c, hits_c))
             out = gt.TraceOut(*[
-                x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])[:m][inv_order]
+                x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
                 for x in out])
+            if tracer_cfg.n_segments > 1:
+                # segmented re-trace on the padded, coherence-sorted arrays
+                # (≙ gaussiantrace_forward.cu:27-103's per-segment loop)
+                mp = rop.shape[0]
+                row_ok = jnp.arange(mp) < m
+                hits = hits._replace(more=hits.more & row_ok)
+                cap = max(1, min(mp, int(mp * tracer_cfg.retrace_frac)))
+                for _ in range(tracer_cfg.n_segments - 1):
+                    out, hits = gt.retrace_pass(
+                        out, hits, rop, rdp, grid, inputs, tracer_cfg,
+                        sh_deg, cap)
+            out = gt.TraceOut(*[x[:m][inv_order] for x in out])
+        elif tracer_cfg.n_segments > 1:
+            out = gt.trace_segments(ro, rd, grid, inputs, cfg=tracer_cfg,
+                                    sh_deg=sh_deg)
         else:
             out = gt.trace(ro, rd, grid, inputs, cfg=tracer_cfg, sh_deg=sh_deg)
         out = gt.normalize_trace(out, tracer_cfg.transmittance_min)
@@ -272,7 +295,11 @@ def derive_geometry_maps(out: sr.RasterOut, cam: CameraParams,
     r_c2w = cam.w2c[:3, :3].T
     rend_normal = out.normal @ r_c2w.T                    # view->world
     depth_expected = jnp.nan_to_num(out.depth / jnp.maximum(alpha[..., 0], 1e-12))
-    depth_median = jnp.nan_to_num(out.depth2)             # allmap[5] is Σw·z²
+    # true median depth (T=0.5 crossing); no alpha division, matching
+    # render_ir's use of allmap[5] (__init__.py:142-143). The reference
+    # fork's CUDA actually stores Σw·z² in that slot (forward.cu:447) —
+    # we keep the second moment separately as out.depth2.
+    depth_median = jnp.nan_to_num(out.depth_median)
     surf_depth = depth_expected * (1 - depth_ratio) + depth_ratio * depth_median
 
     rays_unnorm = cam.ray_dirs(img_w, img_h, normalize=False)
@@ -287,7 +314,8 @@ def derive_geometry_maps(out: sr.RasterOut, cam: CameraParams,
     normal_map = rend_normal / jnp.maximum(alpha, 1e-6)
     normal_map = safe_normalize(normal_map)
     return dict(alpha=alpha, rend_normal=rend_normal, surf_depth=surf_depth,
-                depth_expected=depth_expected, points=points,
+                depth_expected=depth_expected, depth_median=depth_median,
+                points=points,
                 surf_normal=surf_normal, normal_map=normal_map,
                 rays_d=cam.ray_dirs(img_w, img_h, normalize=True))
 

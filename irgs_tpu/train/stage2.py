@@ -70,6 +70,7 @@ class Stage2Static:
     normal_loss_start: int = 1000
     dist_loss_start: int = 1000
     raster_backend: str = "xla"
+    depth_ratio: float = 0.0
 
     @property
     def num_shaded_pixels(self) -> int:
@@ -99,7 +100,9 @@ def from_configs(cfg, img_w: int, img_h: int, active_sh_degree: int = 3) -> Stag
             grid_res=p.tracer_grid_res, max_cells=p.tracer_max_cells,
             max_hits=p.tracer_max_hits, hit_budget=p.tracer_hit_budget,
             max_crossings=p.tracer_max_crossings,
-            transmittance_min=p.transmittance_min, alpha_min=p.alpha_min),
+            transmittance_min=p.transmittance_min, alpha_min=p.alpha_min,
+            n_segments=p.tracer_n_segments,
+            retrace_frac=p.tracer_retrace_frac),
         lambda_dssim=o.lambda_dssim, lambda_dist=o.lambda_dist,
         lambda_normal_render_depth=o.lambda_normal_render_depth,
         lambda_normal_smooth=o.lambda_normal_smooth,
@@ -109,6 +112,7 @@ def from_configs(cfg, img_w: int, img_h: int, active_sh_degree: int = 3) -> Stag
         lambda_roughness_smooth=o.lambda_roughness_smooth,
         lambda_light=o.lambda_light, lambda_light_smooth=o.lambda_light_smooth,
         normal_loss_start=o.normal_loss_start, dist_loss_start=o.dist_loss_start,
+        depth_ratio=p.depth_ratio,
     )
 
 
@@ -127,7 +131,8 @@ def stage2_forward_loss(params: GaussianParams, aux: GaussianAux, grid: gt.Grid,
         dup_capacity=st.dup_capacity, alive=aux.alive,
         backend=st.raster_backend)
 
-    maps = ir.derive_geometry_maps(raster, cam, st.img_w, st.img_h)
+    maps = ir.derive_geometry_maps(raster, cam, st.img_w, st.img_h,
+                                   depth_ratio=st.depth_ratio)
     alpha = maps["alpha"]                                           # [H, W, 1]
     base_color_img = raster.feature[..., :3]
     rough_img = raster.feature[..., 3:4]

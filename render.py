@@ -45,7 +45,7 @@ def main():
     params, aux = G.load_ply(ply, cfg.model.max_gaussians, cfg.model.sh_degree)
 
     info = load_scene(cfg.model.source_path, cfg.model.white_background,
-                      eval_split=True)
+                      eval_split=True, resolution=cfg.model.resolution)
     cams = info.test_cameras or info.train_cameras
     if args.max_images > 0:
         cams = cams[:args.max_images]
@@ -59,10 +59,12 @@ def main():
         wo_indirect=cfg.pipe.wo_indirect,
         white_background=cfg.model.white_background,
         tracer=gt.TracerConfig(grid_res=cfg.pipe.tracer_grid_res,
-                               max_cells=cfg.pipe.tracer_max_cells,
-                               max_hits=cfg.pipe.tracer_max_hits,
-                               hit_budget=cfg.pipe.tracer_hit_budget,
-                               max_crossings=cfg.pipe.tracer_max_crossings))
+                               max_cells=cfg.pipe.tracer_max_cells_eval,
+                               max_hits=cfg.pipe.tracer_max_hits_eval,
+                               hit_budget=cfg.pipe.tracer_hit_budget_eval,
+                               max_crossings=0,
+                               n_segments=cfg.pipe.tracer_n_segments_eval,
+                               retrace_frac=cfg.pipe.tracer_retrace_frac_eval))
     grid = gt.build_grid_from_gaussians(params, aux, ecfg.tracer)
 
     render_j = jax.jit(lambda p, g, c: render_ir_eval(

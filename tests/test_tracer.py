@@ -91,6 +91,7 @@ def test_gradients_match_brute_force(setup):
         feature=jax.random.normal(ks[2], (r, s)),
         depth=jax.random.normal(ks[3], (r,)),
         alpha=jax.random.normal(ks[4], (r,)),
+        trans=jnp.zeros((r,)),   # cotangent on T not part of the parity set
     )
 
     def loss_prod(inp, ro, rd):
@@ -153,7 +154,130 @@ def test_single_surfel_analytic():
 def test_normalize_trace_saturation():
     out = gt.TraceOut(color=jnp.array([[0.5, 0.5, 0.5]]), normal=jnp.zeros((1, 3)),
                       feature=jnp.zeros((1, 0)), depth=jnp.array([1.0]),
-                      alpha=jnp.array([0.98]))
+                      alpha=jnp.array([0.98]), trans=jnp.array([0.02]))
     norm = gt.normalize_trace(out, transmittance_min=0.03)
     np.testing.assert_allclose(norm.alpha[0], 1.0)
     np.testing.assert_allclose(norm.color[0], np.array([0.5] * 3) / 0.98, rtol=1e-6)
+
+
+def _dense_setup(n=192, r=96):
+    """Dense scene where tight budgets truncate rays that are still
+    transmissive — the regime the segmented re-trace exists for."""
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 8)
+    means = jax.random.uniform(ks[0], (n, 3), minval=-1.0, maxval=1.0)
+    scales = jnp.exp(jax.random.uniform(ks[1], (n, 2), minval=-3.2, maxval=-2.2))
+    quats = math3d.quat_normalize(jax.random.normal(ks[2], (n, 4)))
+    R = math3d.quat_to_rotmat(quats)
+    # low opacity so transmittance stays above 0.03 through many hits
+    inputs = gt.TraceInputs(
+        means3d=means, opacity=jnp.full((n,), 0.35),
+        ru=R[:, :, 0] / scales[:, 0:1], rv=R[:, :, 1] / scales[:, 1:2],
+        normals=R[:, :, 2],
+        shs=jax.random.normal(ks[4], (n, 16, 3)) * 0.3,
+        features=jax.random.uniform(ks[5], (n, 4)))
+    alive = jnp.ones(n, bool)
+    radius = gt.bounding_radius(inputs.opacity, scales, 1.0 / 255.0)
+    cfg = gt.TracerConfig(grid_res=16, pair_capacity=2 ** 16, max_cells=12,
+                          max_hits=32, hit_budget=6, span_cap=8,
+                          n_segments=8, retrace_frac=1.0)
+    grid = gt.build_grid(inputs.means3d, radius, alive, grid_res=cfg.grid_res,
+                         pair_capacity=cfg.pair_capacity, span_cap=cfg.span_cap)
+    rays_o, rays_d = make_rays(jax.random.PRNGKey(9), r=r)
+    return inputs, alive, grid, rays_o, rays_d, cfg
+
+
+def test_retrace_reduces_truncation_bias():
+    """trace_segments must approach the unbounded oracle where the
+    single-pass budgets truncate (≙ 're-trace until T < 0.03',
+    gaussiantrace_forward.cu:27-103)."""
+    import dataclasses
+    inputs, alive, grid, rays_o, rays_d, cfg = _dense_setup()
+
+    ref = gt.trace_reference(rays_o, rays_d, inputs, alive, sh_deg=3)
+    one = gt.trace(rays_o, rays_d, grid, inputs,
+                   cfg=dataclasses.replace(cfg, n_segments=1), sh_deg=3)
+    seg = gt.trace_segments(rays_o, rays_d, grid, inputs, cfg=cfg, sh_deg=3)
+
+    err1 = float(jnp.abs(one.color - ref.color).mean())
+    errs = float(jnp.abs(seg.color - ref.color).mean())
+    # the single-pass trace must actually be truncating for this test to
+    # mean anything, and the re-trace must recover most of it (each segment
+    # blends at most hit_budget more hits, like the CUDA 16-slot k-buffer)
+    assert err1 > 5e-2, f"scene not dense enough: err1={err1}"
+    assert errs < err1 * 0.1, f"retrace err {errs} vs single {err1}"
+    assert float(jnp.abs(seg.alpha - ref.alpha).mean()) < 0.02
+    assert float(jnp.abs(seg.trans - ref.trans).mean()) < 0.02
+
+
+def test_retrace_gradients_match_oracle():
+    """Gradients through the re-trace (carried T is differentiable) must
+    match the unbounded oracle's."""
+    inputs, alive, grid, rays_o, rays_d, cfg = _dense_setup(n=128, r=48)
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    r, s = rays_o.shape[0], inputs.features.shape[-1]
+    cot = gt.TraceOut(
+        color=jax.random.normal(ks[0], (r, 3)),
+        normal=jax.random.normal(ks[1], (r, 3)),
+        feature=jax.random.normal(ks[2], (r, s)),
+        depth=0.1 * jax.random.normal(ks[3], (r,)),
+        alpha=jax.random.normal(ks[4], (r,)),
+        trans=jnp.zeros((r,)),
+    )
+
+    def loss_seg(inp, ro, rd):
+        out = gt.trace_segments(ro, rd, grid, inp, cfg=cfg, sh_deg=2)
+        return sum(jnp.vdot(a, b) for a, b in zip(out, cot))
+
+    def loss_ref(inp, ro, rd):
+        out = gt.trace_reference(ro, rd, inp, alive, sh_deg=2)
+        return sum(jnp.vdot(a, b) for a, b in zip(out, cot))
+
+    g1 = jax.grad(loss_seg, argnums=(0, 1, 2))(inputs, rays_o, rays_d)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(inputs, rays_o, rays_d)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        scale = np.maximum(np.abs(np.asarray(b)).max(), 1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3 * scale, rtol=2e-2)
+
+
+def test_make_trace_fn_chunked_retrace_matches_direct():
+    """The chunked make_trace_fn path (coherence sort + per-chunk blends +
+    global re-trace rounds) must equal the direct trace_segments result."""
+    import dataclasses
+    from irgs_tpu.render import ir
+    from irgs_tpu.scene import toy
+
+    params, aux = toy.make_sphere_scene(n_surface=512, n_capacity=1024,
+                                        env_resolution=8)
+    cfg = gt.TracerConfig(grid_res=16, pair_capacity=2 ** 15, max_cells=8,
+                          max_hits=16, hit_budget=6, n_segments=3,
+                          retrace_frac=1.0)
+    grid = gt.build_grid_from_gaussians(params, aux, cfg)
+    rays_o, rays_d = make_rays(jax.random.PRNGKey(11), r=1024)
+
+    # chunked: ray_chunk=256 forces the sort/chunk/retrace code path
+    tf = ir.make_trace_fn(params, aux, grid, cfg, jnp.zeros(3), sh_deg=3,
+                          ray_chunk=256)
+    out_chunked = tf(rays_o, rays_d)
+
+    # direct (no chunking)
+    from irgs_tpu.utils import math3d as m3
+    s = params.get_scaling()
+    R = m3.quat_to_rotmat(params.rotation)
+    inputs = gt.TraceInputs(
+        means3d=params.xyz,
+        opacity=jnp.where(aux.alive, params.get_opacity()[:, 0], 0.0),
+        ru=R[:, :, 0] / s[:, 0:1], rv=R[:, :, 1] / s[:, 1:2],
+        normals=params.world_normals(cam_pos=jnp.zeros(3)),
+        shs=params.get_features(),
+        features=jnp.zeros((params.n_capacity, 0), jnp.float32))
+    direct = gt.normalize_trace(
+        gt.trace_segments(rays_o, rays_d, grid, inputs, cfg=cfg, sh_deg=3),
+        cfg.transmittance_min)
+
+    np.testing.assert_allclose(np.asarray(out_chunked.alpha),
+                               np.asarray(direct.alpha), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_chunked.color),
+                               np.asarray(direct.color), atol=1e-5)
+    assert float(direct.alpha.max()) > 0.5
