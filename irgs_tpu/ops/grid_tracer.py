@@ -544,11 +544,16 @@ def select_hits(ray_o, ray_d, sorted_gauss, cells: Cells, geom,
     t_in_h = take_rc(tin)
     t_out_h = take_rc(tout)
 
-    # transposed gather [13, R, H]: candidate axis in lanes, so the gather
-    # and every per-component slice stay tile-dense (an [R, H, 13] layout
-    # pads 10-128x under (8,128) tiling — gigabytes at wide H)
-    geom_t = geom.T                                       # [13, N]
-    cols = geom_t[:, gs.reshape(-1)].reshape(13, *gs.shape)
+    # candidate geometry gather. Narrow H: plain row gather [R, H, 13]
+    # (fastest; tile padding is tolerable). Wide H (eval configs): the
+    # row layout pads 10x under (8,128) tiling — gigabytes — so gather
+    # transposed [13, R, H] with the candidate axis in lanes instead.
+    if H <= 64:
+        rows_g = geom[gs]                                 # [R, H, 13]
+        cols = jnp.moveaxis(rows_g, -1, 0)
+    else:
+        geom_t = geom.T                                   # [13, N]
+        cols = geom_t[:, gs.reshape(-1)].reshape(13, *gs.shape)
     alpha, d, d_dot_n = _hit_geom_cols(cols, ray_o, ray_d)
     accept = (valid & (alpha >= cfg.alpha_min)
               & (d >= jnp.maximum(t_in_h, 1e-6)) & (d < t_out_h))
@@ -619,7 +624,18 @@ def blend_hits(ray_o, ray_d, inputs: TraceInputs, gs_s, valid_s,
     (differentiable — the segment products chain exactly as the CUDA
     raygen's single running T does)."""
     n_coeff = (sh_deg + 1) ** 2
-    geom_g = _pack_geom(inputs)[gs_s]                     # [R, kb, 13]
+    n = inputs.means3d.shape[0]
+    # ONE fused per-gaussian table gather (geometry ‖ SH ‖ features): row
+    # gathers are per-row latency-bound on this backend, so one wide gather
+    # beats three narrow ones 3x in the forward AND its VJP scatter
+    sh_flat = inputs.shs[:, :n_coeff].reshape(n, n_coeff * 3)
+    table = jnp.concatenate([_pack_geom(inputs), sh_flat, inputs.features],
+                            axis=-1)
+    rows = table[gs_s]                                    # [R, kb, 13+3C+S]
+    geom_g = rows[..., 0:13]
+    sh_g = rows[..., 13:13 + 3 * n_coeff].reshape(
+        gs_s.shape + (n_coeff, 3))
+    feat = rows[..., 13 + 3 * n_coeff:]
     alpha, n_flip, d = _hit_geom(
         geom_g[..., 0:3], geom_g[..., 3], geom_g[..., 4:7], geom_g[..., 7:10],
         geom_g[..., 10:13], ray_o[:, None], ray_d[:, None])
@@ -635,10 +651,8 @@ def blend_hits(ray_o, ray_d, inputs: TraceInputs, gs_s, valid_s,
     w = jnp.where(T_in > cfg.transmittance_min, w, 0.0)
 
     basis = _sh_basis(sh_deg, ray_d)                      # [R, C_sh]
-    sh_g = inputs.shs[:, :n_coeff][gs_s]                  # [R, kb, C_sh, 3]
     color = jnp.maximum(
         jnp.einsum("rc,rhcd->rhd", basis, sh_g) + 0.5, 0.0)
-    feat = inputs.features[gs_s]
 
     trans = jnp.exp(jnp.sum(lg, -1))
     if t0 is not None:
@@ -813,20 +827,30 @@ def trace_reference(ray_o, ray_d, inputs: TraceInputs, alive, *,
         accept = accept & (jnp.sum(ray_d[:, None] * inputs.normals[None], -1) < 0)
     alpha = jnp.where(accept, alpha, 0.0)
 
-    order = jnp.argsort(jnp.where(accept, d, INF), axis=-1)
-    take2 = lambda x: jnp.take_along_axis(x, order, axis=1)
-    take3 = lambda x: jnp.take_along_axis(x, order[..., None], axis=1)
-    alpha_s = take2(alpha)
+    # multi-operand payload sort (argsort + take_along_axis lowers to a
+    # pathologically slow serialized gather on this backend)
+    feat_b = jnp.broadcast_to(feat, d.shape + (feat.shape[-1],))
+    ops = [jnp.where(accept, d, INF), alpha, d,
+           color[..., 0], color[..., 1], color[..., 2],
+           n_flip[..., 0], n_flip[..., 1], n_flip[..., 2]]
+    ops += [feat_b[..., i] for i in range(feat.shape[-1])]
+    sorted_ops = jax.lax.sort(tuple(ops), num_keys=1, dimension=-1,
+                              is_stable=False)
+    alpha_s, d_s = sorted_ops[1], sorted_ops[2]
+    color_s = jnp.stack(sorted_ops[3:6], -1)
+    nrm_s = jnp.stack(sorted_ops[6:9], -1)
+    feat_s = (jnp.stack(sorted_ops[9:], -1) if feat.shape[-1]
+              else jnp.zeros(d.shape + (0,)))
     lg = jnp.log1p(-alpha_s)
     T = jnp.exp(jnp.cumsum(lg, -1) - lg)
     w = alpha_s * T
     w = jnp.where(T > transmittance_min, w, 0.0)
 
     return TraceOut(
-        color=jnp.einsum("rk,rkc->rc", w, take3(color)),
-        normal=jnp.einsum("rk,rkc->rc", w, take3(n_flip)),
-        feature=jnp.einsum("rk,rks->rs", w, take3(feat)),
-        depth=jnp.sum(w * take2(d), -1),
+        color=jnp.einsum("rk,rkc->rc", w, color_s),
+        normal=jnp.einsum("rk,rkc->rc", w, nrm_s),
+        feature=jnp.einsum("rk,rks->rs", w, feat_s),
+        depth=jnp.sum(w * d_s, -1),
         alpha=jnp.sum(w, -1),
         trans=jnp.exp(jnp.sum(lg, -1)),
     )

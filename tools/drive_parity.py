@@ -1,0 +1,211 @@
+"""Eval-path parity vs the exact brute-force oracle (VERDICT r1 item #1b).
+
+The shadow scene (checker ground + sphere + sharp sun: hard MC shadows and
+interreflection) is rendered at the reference eval sample counts twice —
+once with the production pipeline (grid tracer at the eval budgets) and
+once with an O(R*N) brute-force oracle trace — and the two images are
+compared. Sampling is deterministic (training=False), so any difference is
+pure tracer/shading bias. Optionally also runs a stage-2 material-recovery
+drive against oracle-rendered ground truth.
+
+Run from /root/repo (solo on the TPU):
+    python tools/drive_parity.py [--img 64] [--spp 512 256] [--train 200]
+"""
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tool_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+
+import irgs_tpu  # noqa: F401
+from irgs_tpu.config import Config
+from irgs_tpu.ops import grid_tracer as gt
+from irgs_tpu.ops import surfel_raster as sr
+from irgs_tpu.render import ir
+from irgs_tpu.scene import envlight, toy
+from irgs_tpu.train import stage2 as s2
+from irgs_tpu.train.losses import psnr
+from irgs_tpu.utils import math3d
+from irgs_tpu.utils.math3d import rgb_to_srgb
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--img", type=int, default=64)
+ap.add_argument("--spp", type=int, nargs=2, default=(512, 256))
+ap.add_argument("--train", type=int, default=0)
+ap.add_argument("--views", type=int, default=2)
+args = ap.parse_args()
+IMG = args.img
+SPP_D, SPP_L = args.spp
+
+params, aux = toy.make_shadow_scene()
+cams = toy.make_ring_cameras(max(args.views, 4), radius=3.4, height=1.6,
+                             width=IMG, height_px=IMG)
+cfg = Config()
+eval_tracer = gt.TracerConfig(
+    grid_res=cfg.pipe.tracer_grid_res,
+    max_cells=cfg.pipe.tracer_max_cells_eval,
+    max_hits=cfg.pipe.tracer_max_hits_eval,
+    hit_budget=cfg.pipe.tracer_hit_budget_eval,
+    max_crossings=0,
+    n_segments=cfg.pipe.tracer_n_segments_eval,
+    retrace_frac=cfg.pipe.tracer_retrace_frac_eval)
+grid = gt.build_grid_from_gaussians(params, aux, eval_tracer)
+assert int(grid.overflow) == 0
+
+# ---------------------------------------------------------------------------
+# oracle trace: chunked exact trace_reference over every alive gaussian
+
+s = params.get_scaling()
+R = math3d.quat_to_rotmat(params.rotation)
+ORACLE_CHUNK = 2048
+
+
+def make_oracle_trace(cam_pos):
+    inputs = gt.TraceInputs(
+        means3d=params.xyz,
+        opacity=jnp.where(aux.alive, params.get_opacity()[:, 0], 0.0),
+        ru=R[:, :, 0] / s[:, 0:1], rv=R[:, :, 1] / s[:, 1:2],
+        normals=params.world_normals(cam_pos=cam_pos),
+        shs=params.get_features(),
+        features=jnp.zeros((params.n_capacity, 0), jnp.float32))
+
+    def trace(ro, rd):
+        shape = ro.shape[:-1]
+        flat_o = ro.reshape(-1, 3)
+        flat_d = rd.reshape(-1, 3)
+        m = flat_o.shape[0]
+        pad = (-m) % ORACLE_CHUNK
+        po = jnp.pad(flat_o, ((0, pad), (0, 0)))
+        pd = jnp.pad(flat_d, ((0, pad), (0, 0)), constant_values=1.0)
+        out = jax.lax.map(
+            lambda ab: gt.trace_reference(ab[0], ab[1], inputs, aux.alive,
+                                          sh_deg=3),
+            (po.reshape(-1, ORACLE_CHUNK, 3), pd.reshape(-1, ORACLE_CHUNK, 3)))
+        out = gt.TraceOut(*[x.reshape((-1,) + x.shape[2:])[:m] for x in out])
+        out = gt.normalize_trace(out, eval_tracer.transmittance_min)
+        return gt.TraceOut(*[x.reshape(shape + x.shape[1:]) for x in out])
+
+    return trace
+
+
+def render_view(cam, trace_fn, spp_d, spp_l, env_raw):
+    feats = jnp.concatenate([params.get_base_color(), params.get_roughness()], -1)
+    raster = sr.rasterize(
+        params.xyz, params.get_scaling(), params.rotation,
+        params.get_opacity()[:, 0], params.get_features(), feats,
+        jnp.zeros((params.n_capacity, 2)), cam, jnp.zeros(3),
+        img_w=IMG, img_h=IMG, active_sh_degree=3, dup_capacity=2 ** 19,
+        alive=aux.alive)
+    maps = ir.derive_geometry_maps(raster, cam, IMG, IMG)
+    flat = lambda x: x.reshape(-1, x.shape[-1])
+    shade = ir.ShadeConfig(diffuse_sample_num=spp_d, light_sample_num=spp_l,
+                           training=False)
+    pdf = envlight.build_pdf(env_raw)
+    re = ir.rendering_equation(
+        flat(raster.feature[..., :3]), flat(raster.feature[..., 3:4]),
+        flat(maps["normal_map"]), flat(maps["points"]),
+        -flat(maps["rays_d"]), env_raw, pdf, trace_fn, shade)
+    img = rgb_to_srgb(re["diffuse"] + re["specular"]).reshape(IMG, IMG, 3)
+    return jnp.clip(img * maps["alpha"], 0.0, 1.0)
+
+
+t0 = time.time()
+results = {}
+for vi in range(args.views):
+    cam = cams[vi].params()
+    prod_tf = ir.make_trace_fn(params, aux, grid, eval_tracer, cam.cam_pos, 3)
+    img_prod = jax.jit(lambda c: render_view(
+        c, prod_tf, SPP_D, SPP_L, params.env))(cam)
+    jax.block_until_ready(img_prod)
+    t1 = time.time()
+    oracle_tf = make_oracle_trace(cam.cam_pos)
+    img_orc = jax.jit(lambda c: render_view(
+        c, oracle_tf, SPP_D, SPP_L, params.env))(cam)
+    jax.block_until_ready(img_orc)
+    p = float(psnr(img_prod, img_orc))
+    mad = float(jnp.abs(img_prod - img_orc).mean())
+    print(f"view {vi}: eval-path vs oracle PSNR {p:.2f} dB, "
+          f"mean|d| {mad:.5f} (prod {t1 - t0:.0f}s, oracle "
+          f"{time.time() - t1:.0f}s)", flush=True)
+    results[f"view{vi}_psnr"] = p
+    t0 = time.time()
+
+print(json.dumps({"parity_psnr": results}), flush=True)
+
+if args.train:
+    # stage-2 recovery against ORACLE ground truth: production-pipeline bias
+    # would cap the reachable PSNR
+    cfg.pipe.diffuse_sample_num = 64
+    cfg.opt.trace_num_rays = 64 * 2048
+    cfg.opt.iterations = args.train
+    st = s2.from_configs(cfg, img_w=IMG, img_h=IMG)
+    import dataclasses
+    st = dataclasses.replace(st, dup_capacity=2 ** 19)
+    gts = []
+    for vi in range(4):
+        cam = cams[vi].params()
+        otf = make_oracle_trace(cam.cam_pos)
+        g = jax.jit(lambda c: render_view(c, otf, 128, 64, params.env))(cam)
+        gts.append(g)
+        print(f"GT view {vi} rendered", flush=True)
+    # reset materials + envmap (keep geometry)
+    import dataclasses as dc
+    from irgs_tpu.scene.gaussians import inverse_base_color_activation
+    p0 = dc.replace(
+        params,
+        base_color=jnp.full_like(
+            params.base_color,
+            float(inverse_base_color_activation(jnp.float32(0.5)))),
+        roughness=jnp.zeros_like(params.roughness),
+        env=jnp.full_like(params.env, jnp.log(jnp.float32(1.5))))
+    state, optimizer = s2.init_state(p0, aux, cfg.opt)
+    tgrid = gt.build_grid_from_gaussians(p0, aux, st.tracer)
+    key = jax.random.PRNGKey(0)
+    for it in range(1, args.train + 1):
+        key, k = jax.random.split(key)
+        vi = it % 4
+        state, metrics = s2.stage2_step(state, tgrid, cams[vi].params(),
+                                        gts[vi], None, k, st=st,
+                                        optimizer=optimizer)
+        if it % 40 == 0 or it == 1:
+            print(f"iter {it}: loss {float(metrics['loss']):.4f} "
+                  f"ray_psnr {float(metrics['psnr_ray']):.2f}", flush=True)
+    # final eval with the production eval path against oracle GT
+    fin = []
+    for vi in range(4):
+        cam = cams[vi].params()
+        ptf = ir.make_trace_fn(state.params, aux,
+                               gt.build_grid_from_gaussians(state.params, aux,
+                                                            eval_tracer),
+                               eval_tracer, cam.cam_pos, 3)
+        def render_final(c, p=state.params):
+            feats = jnp.concatenate([p.get_base_color(), p.get_roughness()], -1)
+            raster = sr.rasterize(
+                p.xyz, p.get_scaling(), p.rotation, p.get_opacity()[:, 0],
+                p.get_features(), feats, jnp.zeros((p.n_capacity, 2)), c,
+                jnp.zeros(3), img_w=IMG, img_h=IMG, active_sh_degree=3,
+                dup_capacity=2 ** 19, alive=aux.alive)
+            maps = ir.derive_geometry_maps(raster, c, IMG, IMG)
+            flat = lambda x: x.reshape(-1, x.shape[-1])
+            shade = ir.ShadeConfig(diffuse_sample_num=128, light_sample_num=64,
+                                   training=False)
+            pdf = envlight.build_pdf(p.env)
+            re = ir.rendering_equation(
+                flat(raster.feature[..., :3]), flat(raster.feature[..., 3:4]),
+                flat(maps["normal_map"]), flat(maps["points"]),
+                -flat(maps["rays_d"]), p.env, pdf, ptf, shade)
+            img = rgb_to_srgb(re["diffuse"] + re["specular"]).reshape(IMG, IMG, 3)
+            return jnp.clip(img * maps["alpha"], 0.0, 1.0)
+        img_f = jax.jit(render_final)(cam)
+        fin.append(float(psnr(img_f, gts[vi])))
+        print(f"recovered view {vi}: PSNR vs oracle GT {fin[-1]:.2f} dB",
+              flush=True)
+    print(json.dumps({"recovery_psnr": fin}), flush=True)
