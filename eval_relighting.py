@@ -40,6 +40,15 @@ def main():
     parser.add_argument("--diffuse_sample_num", type=int, default=512)
     parser.add_argument("--light_sample_num", type=int, default=256)
     parser.add_argument("--max_images", type=int, default=-1)
+    parser.add_argument("--split", choices=("test", "train"), default="test",
+                        help="'train' relights the training frames "
+                             "(≙ eval_relighting_enerf.py, which iterates "
+                             "scene.getTrainCameras())")
+    parser.add_argument("--save_env_composite", action="store_true",
+                        help="also save render composited over the envmap "
+                             "background (≙ the enerf 'render_env' capture)")
+    parser.add_argument("--no_metrics", action="store_true",
+                        help="skip PSNR/SSIM (relit train frames have no GT)")
     args = parser.parse_args()
     cfg = load_config(args.model_path)
 
@@ -58,7 +67,8 @@ def main():
 
     info = load_scene(cfg.model.source_path, cfg.model.white_background, True,
                       resolution=cfg.model.resolution)
-    cams = info.test_cameras or info.train_cameras
+    cams = (info.train_cameras if args.split == "train"
+            else info.test_cameras or info.train_cameras)
     if args.max_images > 0:
         cams = cams[:args.max_images]
     transform = jnp.asarray(LIGHT_ROTATE_TRANSFORM) if info.light_rotate else None
@@ -125,14 +135,27 @@ def main():
         psnrs, ssims = [], []
         for cam in cams:
             img, alpha = render_j(params, grid, cam.params(), env)
-            gt_img = jnp.asarray(cam.image)
-            psnrs.append(float(M.psnr(img, gt_img)))
-            ssims.append(float(M.ssim(img, gt_img)))
+            if not args.no_metrics and cam.image is not None:
+                gt_img = jnp.asarray(cam.image)
+                psnrs.append(float(M.psnr(img, gt_img)))
+                ssims.append(float(M.ssim(img, gt_img)))
             iio.imwrite(os.path.join(out_dir, f"{cam.image_name}.png"),
                         (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8))
-        results[name] = {"psnr": float(np.mean(psnrs)),
-                         "ssim": float(np.mean(ssims))}
-        print(name, results[name], flush=True)
+            if args.save_env_composite:
+                # render over the envmap background along the camera rays
+                # (≙ enerf 'render_env': bg = srgb(env(ray_dir)))
+                from irgs_tpu.render.relight import env_query
+                rays = cam.params().ray_dirs(w, h, normalize=True)
+                bg = rgb_to_srgb(env_query(env, rays.reshape(-1, 3))
+                                 ).reshape(h, w, 3)
+                comp = img + jnp.clip(bg, 0, 1) * (1 - alpha)
+                iio.imwrite(
+                    os.path.join(out_dir, f"{cam.image_name}_env.png"),
+                    (np.clip(np.asarray(comp), 0, 1) * 255).astype(np.uint8))
+        if psnrs:
+            results[name] = {"psnr": float(np.mean(psnrs)),
+                             "ssim": float(np.mean(ssims))}
+            print(name, results[name], flush=True)
 
     results["average"] = {
         k: float(np.mean([r[k] for r in results.values() if k in r]))

@@ -122,10 +122,13 @@ results = {}
 for vi in range(args.views):
     cam = cams[vi].params()
     prod_tf = ir.make_trace_fn(params, aux, grid, eval_tracer, cam.cam_pos, 3)
+    print(f"view {vi}: production render (compile on first view)...", flush=True)
     img_prod = jax.jit(lambda c: render_view(
         c, prod_tf, SPP_D, SPP_L, params.env))(cam)
     jax.block_until_ready(img_prod)
     t1 = time.time()
+    print(f"view {vi}: production done {t1 - t0:.0f}s; oracle render...",
+          flush=True)
     oracle_tf = make_oracle_trace(cam.cam_pos)
     img_orc = jax.jit(lambda c: render_view(
         c, oracle_tf, SPP_D, SPP_L, params.env))(cam)
