@@ -739,8 +739,27 @@ def retrace_pass(out: TraceOut, hits: SelectedHits, ray_o, ray_d, grid: Grid,
     else:
         h2 = sel(*args)
     valid2 = h2.valid & picked[:, None]
-    seg = blend_hits(ray_o[idx], ray_d[idx], inputs, h2.gs, valid2, cfg,
-                     sh_deg, t0=out.trans[idx])
+    # blend in bounded ray groups as well — the fused-table gather is
+    # [rays*kb, 61+S] rows and would be tens of GB at full eval capacity
+    kb = min(cfg.hit_budget, cfg.max_hits)
+    blend_cap = max(2 ** 12, (2 ** 22) // max(kb, 1))
+    if capacity > blend_cap:
+        n_b = -(-capacity // blend_cap)
+        padb = n_b * blend_cap - capacity
+        def bpad(a):
+            return jnp.pad(a, ((0, padb),) + ((0, 0),) * (a.ndim - 1)).reshape(
+                (n_b, blend_cap) + a.shape[1:])
+        seg = jax.lax.map(
+            lambda ab: blend_hits(ab[0], ab[1], inputs, ab[2], ab[3], cfg,
+                                  sh_deg, t0=ab[4]),
+            (bpad(ray_o[idx]), bpad(ray_d[idx]), bpad(h2.gs), bpad(valid2),
+             bpad(out.trans[idx])))
+        seg = TraceOut(*[
+            x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])[:capacity]
+            for x in seg])
+    else:
+        seg = blend_hits(ray_o[idx], ray_d[idx], inputs, h2.gs, valid2, cfg,
+                         sh_deg, t0=out.trans[idx])
 
     add2 = lambda a, b: a.at[idx].add(jnp.where(picked[:, None], b, 0.0))
     add1 = lambda a, b: a.at[idx].add(jnp.where(picked, b, 0.0))

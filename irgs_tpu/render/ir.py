@@ -207,16 +207,16 @@ def make_trace_fn(params, aux, grid, tracer_cfg: gt.TracerConfig,
             rdp = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
             ro_sg = jax.lax.stop_gradient(rop)
             rd_sg = jax.lax.stop_gradient(rdp)
-            cells = gt.collect_cells(ro_sg, rd_sg, grid, tracer_cfg)
             geom = jax.lax.stop_gradient(gt._pack_geom(inputs))
             rop_c = rop.reshape(-1, ray_chunk, 3)
             rdp_c = rdp.reshape(-1, ray_chunk, 3)
             n_chunks = rop_c.shape[0]
-            # hit selection runs in as few calls as HBM allows: its working
-            # set is ~6 [rays, max_hits] f32 arrays, so the rays-per-call
-            # budget scales inversely with the candidate width (the training
-            # ray budget selects in ONE call at the default width; wide-
-            # candidate eval configs and the 10^6-ray eval path chunk)
+            # collect+select run in as few calls as HBM allows: select's
+            # working set is ~6 [rays, max_hits] f32 arrays and collect's a
+            # few [rays, 3*crossings] buffers, so the rays-per-call budget
+            # scales inversely with the candidate width (the training ray
+            # budget runs in ONE call at the default width; wide-candidate
+            # eval configs and the 10^6-ray eval path chunk)
             target = max(2 ** 12, (2 ** 18 * 48) // max(tracer_cfg.max_hits, 48))
             if target >= ray_chunk:
                 k = min(n_chunks, max(1, target // ray_chunk))
@@ -229,15 +229,18 @@ def make_trace_fn(params, aux, grid, tracer_cfg: gt.TracerConfig,
                 while sel_rays > target and sel_rays % 2 == 0 and sel_rays > 2 ** 12:
                     sel_rays //= 2
             n_sel = rop.shape[0] // sel_rays
+
+            def collect_select(a, b):
+                cl = gt.collect_cells(a, b, grid, tracer_cfg)
+                return gt.select_hits(a, b, grid.sorted_gauss, cl, geom,
+                                      tracer_cfg, False)
+
             if n_sel == 1:
-                hits = gt.select_hits(ro_sg, rd_sg, grid.sorted_gauss, cells,
-                                      geom, tracer_cfg, False)
+                hits = collect_select(ro_sg, rd_sg)
             else:
                 resh = lambda x: x.reshape(n_sel, sel_rays, *x.shape[1:])
-                hits = jax.lax.map(
-                    lambda ab: gt.select_hits(ab[0], ab[1], grid.sorted_gauss,
-                                              ab[2], geom, tracer_cfg, False),
-                    (resh(ro_sg), resh(rd_sg), jax.tree.map(resh, cells)))
+                hits = jax.lax.map(lambda ab: collect_select(ab[0], ab[1]),
+                                   (resh(ro_sg), resh(rd_sg)))
                 hits = jax.tree.map(
                     lambda x: x.reshape(n_sel * sel_rays, *x.shape[2:]), hits)
             hits_c = jax.tree.map(

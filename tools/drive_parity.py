@@ -41,11 +41,30 @@ ap.add_argument("--img", type=int, default=64)
 ap.add_argument("--spp", type=int, nargs=2, default=(512, 256))
 ap.add_argument("--train", type=int, default=0)
 ap.add_argument("--views", type=int, default=2)
+ap.add_argument("--cache", default="/tmp/parity_cache",
+                help="directory for resumable per-image results (remote "
+                     "compiles are not persistently cached, so long runs "
+                     "resume across invocations)")
 args = ap.parse_args()
+import os
+os.makedirs(args.cache, exist_ok=True)
+
+
+def cached(tag, fn):
+    path = os.path.join(args.cache, tag + ".npy")
+    if os.path.exists(path):
+        print(f"{tag}: cached", flush=True)
+        return jnp.asarray(np.load(path))
+    out = fn()
+    jax.block_until_ready(out)
+    np.save(path, np.asarray(out))
+    return out
 IMG = args.img
 SPP_D, SPP_L = args.spp
 
+print("scene...", flush=True)
 params, aux = toy.make_shadow_scene()
+print("scene done", flush=True)
 cams = toy.make_ring_cameras(max(args.views, 4), radius=3.4, height=1.6,
                              width=IMG, height_px=IMG)
 cfg = Config()
@@ -57,26 +76,32 @@ eval_tracer = gt.TracerConfig(
     max_crossings=0,
     n_segments=cfg.pipe.tracer_n_segments_eval,
     retrace_frac=cfg.pipe.tracer_retrace_frac_eval)
+print("grid...", flush=True)
 grid = gt.build_grid_from_gaussians(params, aux, eval_tracer)
 assert int(grid.overflow) == 0
+print("grid done", flush=True)
 
 # ---------------------------------------------------------------------------
 # oracle trace: chunked exact trace_reference over every alive gaussian
 
 s = params.get_scaling()
 R = math3d.quat_to_rotmat(params.rotation)
-ORACLE_CHUNK = 2048
+ORACLE_CHUNK = 8192
 
 
-def make_oracle_trace(cam_pos):
-    inputs = gt.TraceInputs(
-        means3d=params.xyz,
-        opacity=jnp.where(aux.alive, params.get_opacity()[:, 0], 0.0),
-        ru=R[:, :, 0] / s[:, 0:1], rv=R[:, :, 1] / s[:, 1:2],
-        normals=params.world_normals(cam_pos=cam_pos),
-        shs=params.get_features(),
-        features=jnp.zeros((params.n_capacity, 0), jnp.float32))
+def make_inputs(p, cam_pos):
+    sc = p.get_scaling()
+    Rm = math3d.quat_to_rotmat(p.rotation)
+    return gt.TraceInputs(
+        means3d=p.xyz,
+        opacity=jnp.where(aux.alive, p.get_opacity()[:, 0], 0.0),
+        ru=Rm[:, :, 0] / sc[:, 0:1], rv=Rm[:, :, 1] / sc[:, 1:2],
+        normals=p.world_normals(cam_pos=cam_pos),
+        shs=p.get_features(),
+        features=jnp.zeros((p.n_capacity, 0), jnp.float32))
 
+
+def make_oracle_trace(inputs):
     def trace(ro, rd):
         shape = ro.shape[:-1]
         flat_o = ro.reshape(-1, 3)
@@ -89,50 +114,62 @@ def make_oracle_trace(cam_pos):
             lambda ab: gt.trace_reference(ab[0], ab[1], inputs, aux.alive,
                                           sh_deg=3),
             (po.reshape(-1, ORACLE_CHUNK, 3), pd.reshape(-1, ORACLE_CHUNK, 3)))
-        out = gt.TraceOut(*[x.reshape((-1,) + x.shape[2:])[:m] for x in out])
+        out = gt.TraceOut(*[x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])[:m] for x in out])
         out = gt.normalize_trace(out, eval_tracer.transmittance_min)
         return gt.TraceOut(*[x.reshape(shape + x.shape[1:]) for x in out])
 
     return trace
 
 
-def render_view(cam, trace_fn, spp_d, spp_l, env_raw):
-    feats = jnp.concatenate([params.get_base_color(), params.get_roughness()], -1)
+def render_view(cam, p, g, spp_d, spp_l, mode):
+    """mode='prod' uses the grid tracer at the eval budgets; mode='oracle'
+    the chunked brute-force trace. NOTE: p/g/cam are jit ARGUMENTS — closing
+    over device arrays triggers pathological constant-fold compiles on the
+    remote compiler."""
+    if mode == "prod":
+        trace_fn = ir.make_trace_fn(p, aux, g, eval_tracer, cam.cam_pos, 3)
+    else:
+        trace_fn = make_oracle_trace(make_inputs(p, cam.cam_pos))
+    feats = jnp.concatenate([p.get_base_color(), p.get_roughness()], -1)
     raster = sr.rasterize(
-        params.xyz, params.get_scaling(), params.rotation,
-        params.get_opacity()[:, 0], params.get_features(), feats,
-        jnp.zeros((params.n_capacity, 2)), cam, jnp.zeros(3),
+        p.xyz, p.get_scaling(), p.rotation,
+        p.get_opacity()[:, 0], p.get_features(), feats,
+        jnp.zeros((p.n_capacity, 2)), cam, jnp.zeros(3),
         img_w=IMG, img_h=IMG, active_sh_degree=3, dup_capacity=2 ** 19,
         alive=aux.alive)
     maps = ir.derive_geometry_maps(raster, cam, IMG, IMG)
     flat = lambda x: x.reshape(-1, x.shape[-1])
     shade = ir.ShadeConfig(diffuse_sample_num=spp_d, light_sample_num=spp_l,
                            training=False)
-    pdf = envlight.build_pdf(env_raw)
+    pdf = envlight.build_pdf(p.env)
     re = ir.rendering_equation(
         flat(raster.feature[..., :3]), flat(raster.feature[..., 3:4]),
         flat(maps["normal_map"]), flat(maps["points"]),
-        -flat(maps["rays_d"]), env_raw, pdf, trace_fn, shade)
+        -flat(maps["rays_d"]), p.env, pdf, trace_fn, shade)
     img = rgb_to_srgb(re["diffuse"] + re["specular"]).reshape(IMG, IMG, 3)
     return jnp.clip(img * maps["alpha"], 0.0, 1.0)
+
+
+render_prod_j = jax.jit(lambda c, p, g, sd, sl: render_view(c, p, g, sd, sl, "prod"),
+                        static_argnums=(3, 4))
+render_oracle_j = jax.jit(lambda c, p, sd, sl: render_view(c, p, grid, sd, sl, "oracle"),
+                          static_argnums=(2, 3))
 
 
 t0 = time.time()
 results = {}
 for vi in range(args.views):
     cam = cams[vi].params()
-    prod_tf = ir.make_trace_fn(params, aux, grid, eval_tracer, cam.cam_pos, 3)
-    print(f"view {vi}: production render (compile on first view)...", flush=True)
-    img_prod = jax.jit(lambda c: render_view(
-        c, prod_tf, SPP_D, SPP_L, params.env))(cam)
-    jax.block_until_ready(img_prod)
+    print(f"view {vi}: production render...", flush=True)
+    img_prod = cached(
+        f"prod_v{vi}_i{IMG}_s{SPP_D}_{SPP_L}",
+        lambda: render_prod_j(cam, params, grid, SPP_D, SPP_L))
     t1 = time.time()
     print(f"view {vi}: production done {t1 - t0:.0f}s; oracle render...",
           flush=True)
-    oracle_tf = make_oracle_trace(cam.cam_pos)
-    img_orc = jax.jit(lambda c: render_view(
-        c, oracle_tf, SPP_D, SPP_L, params.env))(cam)
-    jax.block_until_ready(img_orc)
+    img_orc = cached(
+        f"oracle_v{vi}_i{IMG}_s{SPP_D}_{SPP_L}",
+        lambda: render_oracle_j(cam, params, SPP_D, SPP_L))
     p = float(psnr(img_prod, img_orc))
     mad = float(jnp.abs(img_prod - img_orc).mean())
     print(f"view {vi}: eval-path vs oracle PSNR {p:.2f} dB, "
@@ -155,10 +192,10 @@ if args.train:
     gts = []
     for vi in range(4):
         cam = cams[vi].params()
-        otf = make_oracle_trace(cam.cam_pos)
-        g = jax.jit(lambda c: render_view(c, otf, 128, 64, params.env))(cam)
+        g = cached(f"gt_v{vi}_i{IMG}",
+                   lambda: render_oracle_j(cam, params, 128, 64))
         gts.append(g)
-        print(f"GT view {vi} rendered", flush=True)
+        print(f"GT view {vi} ready", flush=True)
     # reset materials + envmap (keep geometry)
     import dataclasses as dc
     from irgs_tpu.scene.gaussians import inverse_base_color_activation
@@ -182,32 +219,10 @@ if args.train:
             print(f"iter {it}: loss {float(metrics['loss']):.4f} "
                   f"ray_psnr {float(metrics['psnr_ray']):.2f}", flush=True)
     # final eval with the production eval path against oracle GT
+    egrid = gt.build_grid_from_gaussians(state.params, aux, eval_tracer)
     fin = []
     for vi in range(4):
-        cam = cams[vi].params()
-        ptf = ir.make_trace_fn(state.params, aux,
-                               gt.build_grid_from_gaussians(state.params, aux,
-                                                            eval_tracer),
-                               eval_tracer, cam.cam_pos, 3)
-        def render_final(c, p=state.params):
-            feats = jnp.concatenate([p.get_base_color(), p.get_roughness()], -1)
-            raster = sr.rasterize(
-                p.xyz, p.get_scaling(), p.rotation, p.get_opacity()[:, 0],
-                p.get_features(), feats, jnp.zeros((p.n_capacity, 2)), c,
-                jnp.zeros(3), img_w=IMG, img_h=IMG, active_sh_degree=3,
-                dup_capacity=2 ** 19, alive=aux.alive)
-            maps = ir.derive_geometry_maps(raster, c, IMG, IMG)
-            flat = lambda x: x.reshape(-1, x.shape[-1])
-            shade = ir.ShadeConfig(diffuse_sample_num=128, light_sample_num=64,
-                                   training=False)
-            pdf = envlight.build_pdf(p.env)
-            re = ir.rendering_equation(
-                flat(raster.feature[..., :3]), flat(raster.feature[..., 3:4]),
-                flat(maps["normal_map"]), flat(maps["points"]),
-                -flat(maps["rays_d"]), p.env, pdf, ptf, shade)
-            img = rgb_to_srgb(re["diffuse"] + re["specular"]).reshape(IMG, IMG, 3)
-            return jnp.clip(img * maps["alpha"], 0.0, 1.0)
-        img_f = jax.jit(render_final)(cam)
+        img_f = render_prod_j(cams[vi].params(), state.params, egrid, 128, 64)
         fin.append(float(psnr(img_f, gts[vi])))
         print(f"recovered view {vi}: PSNR vs oracle GT {fin[-1]:.2f} dB",
               flush=True)
