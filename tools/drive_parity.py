@@ -12,6 +12,7 @@ Run from /root/repo (solo on the TPU):
     python tools/drive_parity.py [--img 64] [--spp 512 256] [--train 200]
 """
 import argparse
+import functools
 import json
 import sys
 import time
@@ -41,6 +42,11 @@ ap.add_argument("--img", type=int, default=64)
 ap.add_argument("--spp", type=int, nargs=2, default=(512, 256))
 ap.add_argument("--train", type=int, default=0)
 ap.add_argument("--views", type=int, default=2)
+ap.add_argument("--eval_segments", type=int, default=0,
+                help="override tracer_n_segments_eval")
+ap.add_argument("--eval_kb", type=int, default=0,
+                help="override tracer_hit_budget_eval")
+ap.add_argument("--eval_frac", type=float, default=0.0)
 ap.add_argument("--cache", default="/tmp/parity_cache",
                 help="directory for resumable per-image results (remote "
                      "compiles are not persistently cached, so long runs "
@@ -74,8 +80,12 @@ eval_tracer = gt.TracerConfig(
     max_hits=cfg.pipe.tracer_max_hits_eval,
     hit_budget=cfg.pipe.tracer_hit_budget_eval,
     max_crossings=0,
-    n_segments=cfg.pipe.tracer_n_segments_eval,
-    retrace_frac=cfg.pipe.tracer_retrace_frac_eval)
+    n_segments=args.eval_segments or cfg.pipe.tracer_n_segments_eval,
+    retrace_frac=args.eval_frac or cfg.pipe.tracer_retrace_frac_eval)
+if args.eval_kb:
+    import dataclasses as _dc
+    eval_tracer = _dc.replace(eval_tracer, hit_budget=args.eval_kb)
+TAG = f"sg{eval_tracer.n_segments}kb{eval_tracer.hit_budget}f{eval_tracer.retrace_frac}" 
 print("grid...", flush=True)
 grid = gt.build_grid_from_gaussians(params, aux, eval_tracer)
 assert int(grid.overflow) == 0
@@ -150,10 +160,61 @@ def render_view(cam, p, g, spp_d, spp_l, mode):
     return jnp.clip(img * maps["alpha"], 0.0, 1.0)
 
 
-render_prod_j = jax.jit(lambda c, p, g, sd, sl: render_view(c, p, g, sd, sl, "prod"),
-                        static_argnums=(3, 4))
-render_oracle_j = jax.jit(lambda c, p, sd, sl: render_view(c, p, grid, sd, sl, "oracle"),
-                          static_argnums=(2, 3))
+
+
+def gbuffer_j(cam, p):
+    feats = jnp.concatenate([p.get_base_color(), p.get_roughness()], -1)
+    raster = sr.rasterize(
+        p.xyz, p.get_scaling(), p.rotation, p.get_opacity()[:, 0],
+        p.get_features(), feats, jnp.zeros((p.n_capacity, 2)), cam,
+        jnp.zeros(3), img_w=IMG, img_h=IMG, active_sh_degree=3,
+        dup_capacity=2 ** 19, alive=aux.alive)
+    maps = ir.derive_geometry_maps(raster, cam, IMG, IMG)
+    flat = lambda x: x.reshape(-1, x.shape[-1])
+    return (flat(raster.feature[..., :3]), flat(raster.feature[..., 3:4]),
+            flat(maps["normal_map"]), flat(maps["points"]),
+            -flat(maps["rays_d"]), maps["alpha"])
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def shade_block_j(px, cam_pos, p, g, sd, sl, mode):
+    base, rough, normal, points, wo = px
+    if mode == "oracle":
+        trace_fn = make_oracle_trace(make_inputs(p, cam_pos))
+    else:
+        trace_fn = ir.make_trace_fn(p, aux, g, eval_tracer, cam_pos, 3)
+    shade = ir.ShadeConfig(diffuse_sample_num=sd, light_sample_num=sl,
+                           training=False)
+    pdf = envlight.build_pdf(p.env)
+    re = ir.rendering_equation(base, rough, normal, points, wo, p.env, pdf,
+                               trace_fn, shade)
+    return re["diffuse"] + re["specular"]
+
+
+def _render_blocks(cam, p, g, sd, sl, mode, n_blocks=8):
+    """Shade in n_blocks separate dispatches — one monolithic multi-minute
+    dispatch trips the device watchdog on this tunnel."""
+    base, rough, normal, points, wo, alpha = jax.jit(gbuffer_j)(cam, p)
+    outs = []
+    npx = IMG * IMG
+    bs = npx // n_blocks
+    for b in range(n_blocks):
+        sl_ = slice(b * bs, (b + 1) * bs)
+        out = shade_block_j(
+            (base[sl_], rough[sl_], normal[sl_], points[sl_], wo[sl_]),
+            cam.cam_pos, p, g, sd, sl, mode)
+        jax.block_until_ready(out)
+        outs.append(out)
+    img = rgb_to_srgb(jnp.concatenate(outs)).reshape(IMG, IMG, 3)
+    return jnp.clip(img * alpha, 0.0, 1.0)
+
+
+def render_prod_j(cam, p, g, sd, sl):
+    return _render_blocks(cam, p, g, sd, sl, "prod")
+
+
+def render_oracle_j(cam, p, sd, sl):
+    return _render_blocks(cam, p, grid, sd, sl, "oracle")
 
 
 t0 = time.time()
@@ -162,7 +223,7 @@ for vi in range(args.views):
     cam = cams[vi].params()
     print(f"view {vi}: production render...", flush=True)
     img_prod = cached(
-        f"prod_v{vi}_i{IMG}_s{SPP_D}_{SPP_L}",
+        f"prod_v{vi}_i{IMG}_s{SPP_D}_{SPP_L}_{TAG}",
         lambda: render_prod_j(cam, params, grid, SPP_D, SPP_L))
     t1 = time.time()
     print(f"view {vi}: production done {t1 - t0:.0f}s; oracle render...",
@@ -217,7 +278,7 @@ if args.train:
                                         optimizer=optimizer)
         if it % 40 == 0 or it == 1:
             print(f"iter {it}: loss {float(metrics['loss']):.4f} "
-                  f"ray_psnr {float(metrics['psnr_ray']):.2f}", flush=True)
+                  f"ray_psnr {float(metrics.get('ray_psnr', metrics.get('psnr', 0.0))):.2f}", flush=True)
     # final eval with the production eval path against oracle GT
     egrid = gt.build_grid_from_gaussians(state.params, aux, eval_tracer)
     fin = []
