@@ -80,6 +80,51 @@ def sample_cubemap(cube, dirs):
     return (c00 * (1 - fx) + c01 * fx) * (1 - fy) + (c10 * (1 - fx) + c11 * fx) * fy
 
 
+def seam_blend(cube):
+    """Make face borders agree across cube edges (VERDICT r1 weak #10).
+
+    nvdiffrast's 'cube' boundary mode bilinearly blends across face seams;
+    clamped fetches leave an O(1/res) discontinuity in the outermost
+    half-texel ring — visible on sharp HDR relight envmaps. This pre-blends
+    each border texel with the geometrically adjacent texel on the
+    neighboring face (found generically by pushing the texel direction one
+    texel across the edge and re-projecting — no hand-written adjacency
+    tables), halving the seam jump. Apply after every prefilter level.
+    """
+    res = cube.shape[1]
+    g = (jnp.arange(res, dtype=jnp.float32) + 0.5) / res * 2.0 - 1.0
+    border = (jnp.minimum(jnp.abs(g - g[0]), jnp.abs(g - g[-1]))
+              < 1.0 / res)                                  # first/last texel
+    bmask = border[:, None] | border[None, :]               # [R, R]
+
+    # push each texel's (u, v) outward past +-1 by one texel where it sits on
+    # a border; the unnormalized face vector then normalizes onto the
+    # adjacent face
+    step = 2.0 / res
+    push = jnp.where(g > 0, g + step, g - step)
+    on_border = border
+    # only push along the axis that is actually at the border
+    v_grid, u_grid = jnp.meshgrid(g, g, indexing="ij")
+    vp_grid, up_grid = jnp.meshgrid(
+        jnp.where(on_border, push, g), jnp.where(on_border, push, g),
+        indexing="ij")
+    u_out = jnp.where(border[None, :], up_grid, u_grid)
+    v_out = jnp.where(border[:, None], vp_grid, v_grid)
+    one = jnp.ones_like(u_out)
+    faces = [
+        jnp.stack([one, -v_out, -u_out], -1),
+        jnp.stack([-one, -v_out, u_out], -1),
+        jnp.stack([u_out, one, v_out], -1),
+        jnp.stack([u_out, -one, -v_out], -1),
+        jnp.stack([u_out, -v_out, one], -1),
+        jnp.stack([-u_out, -v_out, -one], -1),
+    ]
+    pushed_dirs = safe_normalize(jnp.stack(faces))          # [6, R, R, 3]
+    other = sample_cubemap(cube, pushed_dirs)
+    return jnp.where(bmask[None, :, :, None],
+                     0.5 * (cube + other), cube)
+
+
 def sample_cubemap_mip(mips: list, dirs, mip_level):
     """Trilinear: blend two bilinear fetches by fractional mip level
     (≙ dr.texture 'linear-mipmap-linear')."""
@@ -221,7 +266,7 @@ def build_specular_mips(base_cube, min_res: int = 16,
     chain = [base_cube]
     while chain[-1].shape[1] > min_res:
         chain.append(cubemap_mip(chain[-1]))
-    diffuse = diffuse_cubemap(chain[-1])
+    diffuse = seam_blend(diffuse_cubemap(chain[-1]))
     n = len(chain)
     specular = []
     for i, c in enumerate(chain[:-1]):
@@ -230,8 +275,10 @@ def build_specular_mips(base_cube, min_res: int = 16,
         # is nearly a delta, so a handful of Hammersley samples suffices;
         # this runs inside AD every training iteration, so taps are the cost
         samples = int(min(256, max(16, 256 * rough * rough)))
-        specular.append(specular_cubemap(c, rough, cutoff, samples=samples))
-    specular.append(specular_cubemap(chain[-1], 1.0, cutoff, samples=256))
+        specular.append(seam_blend(specular_cubemap(c, rough, cutoff,
+                                                     samples=samples)))
+    specular.append(seam_blend(specular_cubemap(chain[-1], 1.0, cutoff,
+                                                samples=256)))
     return specular, diffuse
 
 

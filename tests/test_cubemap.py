@@ -65,3 +65,35 @@ def test_build_specular_mips_shapes():
     spec, diff = cm.build_specular_mips(cube, min_res=16)
     assert [s.shape[1] for s in spec] == [64, 32, 16]
     assert diff.shape[1] == 16
+
+
+def test_seam_blend_reduces_edge_discontinuity():
+    """VERDICT r1 weak #10: clamped fetches jump O(1/res) at face seams;
+    seam_blend must roughly halve the jump for a smooth function and leave
+    interior texels untouched."""
+    import numpy as np
+    from irgs_tpu.scene import cubemap as cm
+
+    res = 16
+    dirs = cm._face_dirs(res)
+    # smooth non-symmetric function of direction
+    a = jnp.asarray([[0.8, 0.1, 0.3], [0.2, 0.9, 0.1], [0.4, 0.2, 0.7]])
+    cube = jnp.maximum(dirs @ a.T, 0.05)
+
+    blended = cm.seam_blend(cube)
+    # interior untouched
+    np.testing.assert_array_equal(np.asarray(blended[:, 2:-2, 2:-2]),
+                                  np.asarray(cube[:, 2:-2, 2:-2]))
+
+    # sample along a great circle crossing the +x/+z edge
+    t = jnp.linspace(-0.3, 0.3, 401)
+    d = jnp.stack([jnp.cos(t + jnp.pi / 4), jnp.zeros_like(t),
+                   jnp.sin(t + jnp.pi / 4)], -1)
+
+    def max_jump(c):
+        vals = cm.sample_cubemap(c, d)
+        return float(jnp.abs(jnp.diff(vals, axis=0)).max())
+
+    j0 = max_jump(cube)
+    j1 = max_jump(blended)
+    assert j1 < 0.7 * j0, f"seam jump {j0} -> {j1}"
