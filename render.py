@@ -98,6 +98,11 @@ def main():
         "psnr": float(np.mean(psnrs)),
         "ssim": float(np.mean(ssims)),
         "lpips": None if lpipss[0] is None else float(np.mean(lpipss)),
+        # reference key aliases (render.py:75-82 writes *_avg) so existing
+        # collect scripts keep working
+        "psnr_avg": float(np.mean(psnrs)),
+        "ssim_avg": float(np.mean(ssims)),
+        "lpips_avg": None if lpipss[0] is None else float(np.mean(lpipss)),
         "per_image_psnr": psnrs,
     }
     with open(os.path.join(args.model_path, "test", "nvs_results.json"), "w") as f:
