@@ -74,13 +74,7 @@ def main():
     transform = jnp.asarray(LIGHT_ROTATE_TRANSFORM) if info.light_rotate else None
     h, w = cams[0].height, cams[0].width
 
-    tracer_cfg = gt.TracerConfig(grid_res=cfg.pipe.tracer_grid_res,
-                                 max_cells=cfg.pipe.tracer_max_cells_eval,
-                                 max_hits=cfg.pipe.tracer_max_hits_eval,
-                                 hit_budget=cfg.pipe.tracer_hit_budget_eval,
-                                 max_crossings=0,
-                                 n_segments=cfg.pipe.tracer_n_segments_eval,
-                                 retrace_frac=cfg.pipe.tracer_retrace_frac_eval)
+    tracer_cfg = gt.TracerConfig.from_pipe(cfg.pipe, eval=True)
     grid = gt.build_grid_from_gaussians(params, aux, tracer_cfg)
     fg_lut = cm.compute_fg_lut()
     shade_cfg = ir.ShadeConfig(

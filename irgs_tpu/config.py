@@ -72,11 +72,22 @@ class PipelineConfig:
     # EVAL budgets: the 512+256-spp eval path pays wide candidate budgets +
     # deeper re-trace for near-oracle fidelity (|dcolor| < 2e-3 vs the
     # brute-force oracle on the dense stress scene; tools/trace_fidelity.py)
-    tracer_max_cells_eval: int = 24
-    tracer_max_hits_eval: int = 256
-    tracer_hit_budget_eval: int = 32
-    tracer_n_segments_eval: int = 3
+    # NARROW-FIRST eval (round 3): every ray runs a lean first pass; only
+    # the compacted truncated-and-transmissive subset re-traces at the wide
+    # budgets below. Escaped/saturated rays never pay wide-candidate costs,
+    # and the coarse-occupancy completeness check (ops/grid_tracer.py
+    # _coarse_scan) keeps escaping rays out of the re-trace set.
+    tracer_max_cells_eval: int = 12
+    tracer_max_hits_eval: int = 48
+    tracer_hit_budget_eval: int = 24
+    tracer_max_crossings_eval: int = 24
+    tracer_n_segments_eval: int = 6
     tracer_retrace_frac_eval: float = 0.5
+    tracer_retrace_decay_eval: float = 0.5
+    tracer_retrace_max_cells_eval: int = 24
+    tracer_retrace_max_hits_eval: int = 256
+    tracer_retrace_hit_budget_eval: int = 32
+    tracer_retrace_max_crossings_eval: int = 0   # 0 = full crossings
     # rendering-equation eval chunk (reference: 2**20 point-samples,
     # gaussian_renderer/__init__.py:314)
     eval_chunk_point_samples: int = 2 ** 20

@@ -83,6 +83,66 @@ class TracerConfig:
     n_segments: int = 1
     retrace_frac: float = 0.25     # capacity of each re-trace pass, as a
                                    # fraction of the ray count
+    # re-trace round budgets (0 / -1 = inherit the first-pass value). The
+    # narrow-first eval strategy: run EVERY ray through a lean first pass,
+    # then send only the compacted truncated-and-transmissive subset through
+    # wide-budget rounds — most rays (escaped or saturated) never pay the
+    # wide-candidate costs.
+    retrace_max_cells: int = 0
+    retrace_max_hits: int = 0
+    retrace_hit_budget: int = 0
+    retrace_max_crossings: int = -1
+    # capacity multiplier per successive round: round r gets
+    # retrace_frac * retrace_decay^r of the rays. Early rounds do the bulk;
+    # the geometric tail keeps total wide-budget work ~2*frac while deep
+    # rays still get many extension rounds.
+    retrace_decay: float = 1.0
+    # skip re-trace rounds entirely (lax.cond) when no ray needs them
+    adaptive: bool = True
+
+    def round_capacity(self, n_rays: int, rnd: int) -> int:
+        frac = self.retrace_frac * (self.retrace_decay ** rnd)
+        return max(1, min(n_rays, int(n_rays * frac)))
+
+    def retrace_cfg(self) -> "TracerConfig":
+        return dataclasses.replace(
+            self,
+            max_cells=self.retrace_max_cells or self.max_cells,
+            max_hits=self.retrace_max_hits or self.max_hits,
+            hit_budget=self.retrace_hit_budget or self.hit_budget,
+            max_crossings=(self.max_crossings if self.retrace_max_crossings < 0
+                           else self.retrace_max_crossings))
+
+    @classmethod
+    def from_pipe(cls, pipe, eval: bool = False) -> "TracerConfig":
+        """Build from a PipelineConfig (config.py) — training or eval
+        budgets. Keeps every CLI on one construction path."""
+        if eval:
+            return cls(
+                grid_res=pipe.tracer_grid_res,
+                max_cells=pipe.tracer_max_cells_eval,
+                max_hits=pipe.tracer_max_hits_eval,
+                hit_budget=pipe.tracer_hit_budget_eval,
+                max_crossings=pipe.tracer_max_crossings_eval,
+                n_segments=pipe.tracer_n_segments_eval,
+                retrace_frac=pipe.tracer_retrace_frac_eval,
+                retrace_decay=pipe.tracer_retrace_decay_eval,
+                retrace_max_cells=pipe.tracer_retrace_max_cells_eval,
+                retrace_max_hits=pipe.tracer_retrace_max_hits_eval,
+                retrace_hit_budget=pipe.tracer_retrace_hit_budget_eval,
+                retrace_max_crossings=pipe.tracer_retrace_max_crossings_eval,
+                transmittance_min=pipe.transmittance_min,
+                alpha_min=pipe.alpha_min)
+        return cls(
+            grid_res=pipe.tracer_grid_res,
+            max_cells=pipe.tracer_max_cells,
+            max_hits=pipe.tracer_max_hits,
+            hit_budget=pipe.tracer_hit_budget,
+            max_crossings=pipe.tracer_max_crossings,
+            n_segments=pipe.tracer_n_segments,
+            retrace_frac=pipe.tracer_retrace_frac,
+            transmittance_min=pipe.transmittance_min,
+            alpha_min=pipe.alpha_min)
 
 
 # cell_meta packing: one int32 per cell = (CSR start << 10) | min(count, 1023).
@@ -109,6 +169,16 @@ class Grid(NamedTuple):
     inv_cell: jnp.ndarray        # [3]
     cell_size: jnp.ndarray       # [3]
     overflow: jnp.ndarray        # scalar int32
+    coarse_occ: jnp.ndarray      # [Gc^3] int32 0/1 occupancy of
+                                 # COARSE_FACTOR^3 supercells (exact — a
+                                 # supercell is 1 iff some fine cell in it
+                                 # has candidates); traversed by an exact
+                                 # coarse DDA for empty-space skipping +
+                                 # traversal-completeness checks
+
+
+# fine cells per coarse supercell along each axis
+COARSE_FACTOR = 4
 
 
 class TraceInputs(NamedTuple):
@@ -276,10 +346,21 @@ def build_grid(means3d, radius, alive, *, grid_res: int, pair_capacity: int,
     sorted_cell, sorted_gauss = jax.lax.sort((cell_id, gi), num_keys=1)
     per_cell = counts_by_id(cell_id, g * g * g)
     start = jnp.cumsum(per_cell) - per_cell
+
+    # exact coarse occupancy (COARSE_FACTOR^3 supercells): 1 iff any fine
+    # cell inside has candidates. Traversed by an exact coarse DDA in
+    # collect_cells for empty-space skipping + completeness checks.
+    gc = -(-g // COARSE_FACTOR)
+    occ = (per_cell > 0).reshape(g, g, g)                  # [z, y, x]
+    pad = gc * COARSE_FACTOR - g
+    occ = jnp.pad(occ, ((0, pad),) * 3)
+    occ = occ.reshape(gc, COARSE_FACTOR, gc, COARSE_FACTOR, gc, COARSE_FACTOR)
+    occ = jnp.any(occ, axis=(1, 3, 5))                     # [gc, gc, gc]
     return Grid(sorted_gauss=sorted_gauss,
                 cell_meta=pack_cell_meta(start, per_cell),
                 bb_min=bb_min, inv_cell=inv_cell, cell_size=cell,
-                overflow=jnp.maximum(total - pair_capacity, 0))
+                overflow=jnp.maximum(total - pair_capacity, 0),
+                coarse_occ=occ.reshape(-1).astype(jnp.int32))
 
 
 def build_grid_from_gaussians(params, aux, cfg: TracerConfig) -> Grid:
@@ -401,6 +482,64 @@ def _ray_setup(ray_o, ray_d, grid: Grid, grid_res: int, t_start=None):
     return cell, sgn, tdelta, tmax, t_enter, t1, hit_box
 
 
+def _coarse_scan(ray_o, ray_d, grid: Grid, grid_res: int):
+    """Exact loop-free DDA over the coarse occupancy supercells.
+
+    The full coarse traversal is only 3·Gc merged crossings (complete by
+    construction — no budget), so it is cheap relative to the fine DDA.
+    Returns per-ray (t_first_occ, t_in_seg [R,Sc+1], t_out_seg [R,Sc+1],
+    occ_seg [R,Sc+1]):
+    * t_first_occ — entry t of the first occupied supercell (INF if the ray
+      meets none): every candidate-bearing fine cell lies inside an occupied
+      supercell, so the fine DDA can start here and miss nothing.
+    * occ_seg/t_out_seg — support `any occupied supercell beyond t` checks
+      that clear spurious traversal-incomplete flags.
+    """
+    g = grid_res
+    gc = -(-g // COARSE_FACTOR)
+    csize = grid.cell_size * COARSE_FACTOR
+    bb_max = grid.bb_min + grid.cell_size * g
+    R = ray_o.shape[0]
+    Sc = 3 * gc
+
+    inv_d = jnp.where(jnp.abs(ray_d) < 1e-12, INF, 1.0 / ray_d)
+    t_lo_a = (grid.bb_min - ray_o) * inv_d
+    t_hi_a = (bb_max - ray_o) * inv_d
+    t0 = jnp.maximum(jnp.max(jnp.minimum(t_lo_a, t_hi_a), axis=-1), 1e-6)
+    t1 = jnp.min(jnp.maximum(t_lo_a, t_hi_a), axis=-1)
+    hit_box = t1 > t0
+
+    p = ray_o + (t0[:, None] + 1e-5) * ray_d
+    cell0 = jnp.clip(jnp.floor((p - grid.bb_min) / csize).astype(jnp.int32),
+                     0, gc - 1)
+    sgn = jnp.where(ray_d >= 0, 1, -1).astype(jnp.int32)
+    tdelta = jnp.abs(csize * inv_d)
+    next_bound = grid.bb_min + (cell0 + (sgn > 0)).astype(jnp.float32) * csize
+    tmax = jnp.where(jnp.abs(ray_d) < 1e-12, INF, (next_bound - ray_o) * inv_d)
+
+    k = jnp.arange(gc, dtype=jnp.float32)
+    times = (tmax[:, :, None] + k[None, None, :] * tdelta[:, :, None]
+             ).reshape(R, Sc)
+    axis_lbl = jnp.broadcast_to(
+        jnp.arange(3, dtype=jnp.int32)[None, :, None], (R, 3, gc)).reshape(R, Sc)
+    t_sorted, ax_sorted = jax.lax.sort((times, axis_lbl), num_keys=1,
+                                       dimension=-1, is_stable=False)
+    onehot = jax.nn.one_hot(ax_sorted, 3, dtype=jnp.int32)
+    steps = jnp.cumsum(onehot, axis=1)
+    cells_j = jnp.concatenate(
+        [cell0[:, None], cell0[:, None] + sgn[:, None] * steps], axis=1)
+    t_in_j = jnp.concatenate([t0[:, None], t_sorted], axis=1)
+    t_out_j = jnp.minimum(
+        jnp.concatenate([t_sorted, jnp.full((R, 1), INF)], axis=1), t1[:, None])
+    in_bounds = jnp.all((cells_j >= 0) & (cells_j < gc), axis=-1)
+    seg_valid = in_bounds & hit_box[:, None] & (t_in_j < t_out_j)
+    cc = jnp.clip(cells_j, 0, gc - 1)
+    cid = (cc[..., 2] * gc + cc[..., 1]) * gc + cc[..., 0]
+    occ_seg = (grid.coarse_occ[cid] > 0) & seg_valid       # [R, Sc+1]
+    t_first = jnp.min(jnp.where(occ_seg, t_in_j, INF), axis=-1)
+    return t_first, t_in_j, t_out_j, occ_seg
+
+
 def collect_cells(ray_o, ray_d, grid: Grid, cfg: TracerConfig,
                   t_start=None) -> Cells:
     """[R] rays -> Cells: up to max_cells non-empty cells in traversal
@@ -418,6 +557,20 @@ def collect_cells(ray_o, ray_d, grid: Grid, cfg: TracerConfig,
     k_ax = cfg.max_crossings if cfg.max_crossings > 0 else g
     k_ax = min(k_ax, g)
     S = 3 * k_ax  # merged boundary crossings considered
+
+    # coarse-occupancy scan: (a) skip leading PROVEN-EMPTY span so the
+    # crossing budget is spent where matter is; (b) after the DDA, clear the
+    # incomplete flag when the span past the horizon is proven empty —
+    # without (b) every escaping ray in an open scene is flagged for
+    # re-trace by the crossing budget (measured 84% spurious on the bench
+    # scene). Both directions are conservative via the dilated map.
+    t_first_c, _tin_c, tout_c, occ_c = _coarse_scan(ray_o, ray_d, grid, g)
+    eps_skip = 1e-4 * jnp.min(grid.cell_size)
+    t_skip = jnp.minimum(t_first_c - eps_skip, INF)        # INF when no matter
+    if t_start is not None:
+        t_start = jnp.maximum(t_start, t_skip)
+    else:
+        t_start = jnp.maximum(jnp.zeros(R, ray_o.dtype), t_skip)
 
     cell0, sgn, tdelta, tmax, t_enter, t_exit, hit_box = _ray_setup(
         ray_o, ray_d, grid, g, t_start=t_start)
@@ -454,6 +607,11 @@ def collect_cells(ray_o, ray_d, grid: Grid, cfg: TracerConfig,
     # drop it and flag the traversal incomplete so a re-trace resumes there
     horizon = t_sorted[:, -1]
     incomplete = hit_box & (horizon < t_exit)
+    # coarse completeness: if no occupied supercell's window extends past
+    # the horizon, nothing was missed — the traversal is complete even
+    # though the crossing budget ended inside the box
+    beyond = jnp.any(occ_c & (tout_c > horizon[:, None]), axis=-1)
+    incomplete = incomplete & beyond
     last_col = jnp.arange(S + 1, dtype=jnp.int32)[None] == S
     seg_valid = seg_valid & ~(last_col & incomplete[:, None])
     if t_start is not None:
@@ -705,6 +863,24 @@ def retrace_pass(out: TraceOut, hits: SelectedHits, ray_o, ray_d, grid: Grid,
     rd = jax.lax.stop_gradient(ray_d)
     need = hits.more & (jax.lax.stop_gradient(out.trans)
                         > cfg.transmittance_min)
+    if cfg.adaptive:
+        # skip the whole round when nothing needs it (lax.cond executes one
+        # branch on TPU): at eval, chunks whose rays all saturated or
+        # escaped pay nothing for the wide re-trace budgets
+        def _run(_):
+            return _retrace_body(out, hits, need, ray_o, ray_d, grid, inputs,
+                                 cfg, sh_deg, capacity, back_culling)
+
+        return jax.lax.cond(jnp.any(need), _run,
+                            lambda _: (out, hits), operand=None)
+    return _retrace_body(out, hits, need, ray_o, ray_d, grid, inputs, cfg,
+                         sh_deg, capacity, back_culling)
+
+
+def _retrace_body(out, hits, need, ray_o, ray_d, grid, inputs, cfg, sh_deg,
+                  capacity, back_culling):
+    ro = jax.lax.stop_gradient(ray_o)
+    rd = jax.lax.stop_gradient(ray_d)
     # compaction: top-k on the boolean picks `capacity` needing rays
     score = need.astype(jnp.float32)
     _, idx = jax.lax.top_k(score, capacity)
@@ -805,10 +981,11 @@ def trace_segments(ray_o, ray_d, grid: Grid, inputs: TraceInputs, *,
                        back_culling)
     out = blend_hits(ray_o, ray_d, inputs, hits.gs, hits.valid, cfg, sh_deg)
     r = ray_o.shape[0]
-    capacity = max(1, min(r, int(r * cfg.retrace_frac)))
-    for _ in range(max(0, cfg.n_segments - 1)):
-        out, hits = retrace_pass(out, hits, ray_o, ray_d, grid, inputs, cfg,
-                                 sh_deg, capacity, back_culling)
+    rcfg = cfg.retrace_cfg()
+    for rnd in range(max(0, cfg.n_segments - 1)):
+        out, hits = retrace_pass(out, hits, ray_o, ray_d, grid, inputs, rcfg,
+                                 sh_deg, cfg.round_capacity(r, rnd),
+                                 back_culling)
     return out
 
 

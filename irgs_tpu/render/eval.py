@@ -44,8 +44,15 @@ class EvalConfig:
 
 
 def render_ir_eval(params, aux, grid, cam: CameraParams, cfg: EvalConfig,
-                  env_override=None, env_transform=None, key=None):
-    """Render one eval view with all AOVs. Returns dict of [H, W, C] images."""
+                  env_override=None, env_transform=None, key=None, mesh=None):
+    """Render one eval view with all AOVs. Returns dict of [H, W, C] images.
+
+    `mesh`: optional jax.sharding.Mesh — the MC sample axis shards across
+    its devices (each chip traces 1/D of every pixel's incident samples;
+    partial means combine with a pmean inside rendering_equation). The
+    G-buffer rasterization is replicated (it is a tiny fraction of eval
+    cost at the reference sample counts).
+    """
     bg = jnp.full((3,), 1.0 if cfg.white_background else 0.0, jnp.float32)
     w, h = cfg.img_w, cfg.img_h
     features = jnp.concatenate([params.get_base_color(), params.get_roughness()],
@@ -83,13 +90,26 @@ def render_ir_eval(params, aux, grid, cam: CameraParams, cfg: EvalConfig,
     px = {k: jnp.pad(v, ((0, pad), (0, 0))) for k, v in px.items()}
     px = {k: v.reshape(-1, pc, v.shape[-1]) for k, v in px.items()}
 
-    def shade_chunk(c):
+    def shade_chunk(c, shard=None):
         return ir.rendering_equation(
             c["base"], c["rough"], c["normal"], c["points"], c["wo"],
             env_raw, pdf, trace_fn, shade_cfg, key=None,
-            env_transform=env_transform)
+            env_transform=env_transform, shard=shard)
 
-    re = jax.lax.map(shade_chunk, px)
+    if mesh is None:
+        re = jax.lax.map(shade_chunk, px)
+    else:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        axis = mesh.axis_names[0]
+        n_dev = mesh.size
+
+        def dev_fn(pxd):
+            return jax.lax.map(
+                functools.partial(shade_chunk, shard=(axis, n_dev)), pxd)
+
+        re = shard_map(dev_fn, mesh=mesh, in_specs=(P(),), out_specs=P(),
+                       check_vma=False)(px)
     re = {k: v.reshape((-1,) + v.shape[2:])[:n_px].reshape(h, w, -1)
           for k, v in re.items()}
 

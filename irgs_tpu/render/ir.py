@@ -77,13 +77,21 @@ class ShadeConfig:
 
 def rendering_equation(base_color, roughness, normals, position, viewdirs,
                        env_raw, env_pdf, trace_fn: Callable, cfg: ShadeConfig,
-                       key=None, env_transform=None):
+                       key=None, env_transform=None, shard=None):
     """MC estimate of the rendering equation at [B] surface points.
 
     ≙ rendering_equation (gaussian_renderer/__init__.py:334-415), non-relight
     branch (relight lives in render/relight.py).
 
     trace_fn(rays_o [B,S,3], rays_d [B,S,3]) -> normalized TraceOut.
+
+    `shard=(axis_name, n_shards)`: inside shard_map, shard the SAMPLE axis —
+    every device generates the identical full sample set (deterministic /
+    same key), traces only its 1/n slice, and the per-device partial means
+    combine with one `pmean`. Equal slice sizes make this bitwise the same
+    estimator as the single-device mean (up to reduction order). The
+    reference has no distributed path (SURVEY §2.3); this is the TPU-native
+    sample-parallel eval design.
     """
     from .sampling import fibonacci_sphere_sampling
 
@@ -115,6 +123,18 @@ def rendering_equation(base_color, roughness, normals, position, viewdirs,
         incident_areas = 1.0 / jnp.maximum(incident_pdfs, 1e-6)
     else:
         raise NotImplementedError("diffuse_sample_num must be > 0")
+
+    if shard is not None:
+        axis_name, n_shards = shard
+        s_total = incident_dirs.shape[1]
+        assert s_total % n_shards == 0, (
+            f"sample count {s_total} must divide the mesh size {n_shards}")
+        s_loc = s_total // n_shards
+        di = jax.lax.axis_index(axis_name)
+        slice_s = lambda x: jax.lax.dynamic_slice_in_dim(x, di * s_loc, s_loc,
+                                                         axis=1)
+        incident_dirs = slice_s(incident_dirs)
+        incident_areas = slice_s(incident_areas)
 
     global_incident = envlight.query_env(env_raw, incident_dirs,
                                          activation=cfg.env_activation,
@@ -150,15 +170,26 @@ def rendering_equation(base_color, roughness, normals, position, viewdirs,
             "light": jnp.mean(incident_lights, axis=1),
             "light_indirect": jnp.mean(local_incident, axis=1),
         })
+    if shard is not None:
+        # equal-size sample slices: mean of per-device partial means == the
+        # full-sample mean
+        results = jax.tree.map(lambda x: jax.lax.pmean(x, shard[0]), results)
     return results
 
 
 def make_trace_fn(params, aux, grid, tracer_cfg: gt.TracerConfig,
                   cam_pos, sh_deg: int, with_materials: bool = False,
-                  ray_chunk: int = 65536):
+                  ray_chunk: int = 65536, stats_out: dict | None = None):
     """Bind Gaussian state into a trace closure with the reference's
     input prep + output normalization (GaussianModel.trace,
-    scene/gaussian_model.py:733-765)."""
+    scene/gaussian_model.py:733-765).
+
+    `stats_out`: optional dict that trace_fn populates (at trace time) with
+    truncation observability scalars — `trace_trunc_frac` (rays whose first
+    pass truncated while transmissive) and `trace_more_frac` (rays STILL
+    truncated after all re-trace rounds — unresolved budget truncation).
+    Only the chunked path reports; callers log them per train step
+    (≙ the debug posture of CHECK_CUDA, auxiliary.h:303)."""
     from ..utils import math3d
 
     s = params.get_scaling()
@@ -267,17 +298,25 @@ def make_trace_fn(params, aux, grid, tracer_cfg: gt.TracerConfig,
             out = gt.TraceOut(*[
                 x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
                 for x in out])
+            mp = rop.shape[0]
+            row_ok = jnp.arange(mp) < m
+            hits = hits._replace(more=hits.more & row_ok)
+            if stats_out is not None:
+                need0 = hits.more & (jax.lax.stop_gradient(out.trans)
+                                     > tracer_cfg.transmittance_min)
+                stats_out["trace_trunc_frac"] = jnp.sum(need0) / m
             if tracer_cfg.n_segments > 1:
                 # segmented re-trace on the padded, coherence-sorted arrays
                 # (≙ gaussiantrace_forward.cu:27-103's per-segment loop)
-                mp = rop.shape[0]
-                row_ok = jnp.arange(mp) < m
-                hits = hits._replace(more=hits.more & row_ok)
-                cap = max(1, min(mp, int(mp * tracer_cfg.retrace_frac)))
-                for _ in range(tracer_cfg.n_segments - 1):
+                rcfg = tracer_cfg.retrace_cfg()
+                for rnd in range(tracer_cfg.n_segments - 1):
                     out, hits = gt.retrace_pass(
-                        out, hits, rop, rdp, grid, inputs, tracer_cfg,
-                        sh_deg, cap)
+                        out, hits, rop, rdp, grid, inputs, rcfg,
+                        sh_deg, tracer_cfg.round_capacity(mp, rnd))
+            if stats_out is not None:
+                need_end = hits.more & (jax.lax.stop_gradient(out.trans)
+                                        > tracer_cfg.transmittance_min)
+                stats_out["trace_more_frac"] = jnp.sum(need_end) / m
             out = gt.TraceOut(*[x[:m][inv_order] for x in out])
         elif tracer_cfg.n_segments > 1:
             out = gt.trace_segments(ro, rd, grid, inputs, cfg=tracer_cfg,

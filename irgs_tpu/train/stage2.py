@@ -166,8 +166,9 @@ def stage2_forward_loss(params: GaussianParams, aux: GaussianAux, grid: gt.Grid,
         light_sample_num=st.light_sample_num, light_t_min=st.light_t_min,
         wo_indirect=st.wo_indirect, detach_indirect=st.detach_indirect,
         training=True)
+    trace_stats = {}
     trace_fn = ir.make_trace_fn(params, aux, grid, st.tracer, cam.cam_pos,
-                                st.active_sh_degree)
+                                st.active_sh_degree, stats_out=trace_stats)
     pdf = envlight.build_pdf(jax.lax.stop_gradient(params.env))
     re = ir.rendering_equation(px_base, px_rough, px_normal, px_points, px_wo,
                                params.env, pdf, trace_fn, shade_cfg, key=k_shade)
@@ -196,7 +197,15 @@ def stage2_forward_loss(params: GaussianParams, aux: GaussianAux, grid: gt.Grid,
     loss = loss + l_sh
 
     metrics = {"loss_l1": l_l1, "loss_sh": l_sh,
-               "ray_psnr": L.psnr(ray_rgb * vw, gt_flat * vw)}
+               "ray_psnr": L.psnr(ray_rgb * vw, gt_flat * vw),
+               # capacity observability (VERDICT r2 weak #4): a silently
+               # overflowing duplicate buffer or pair table degrades quality
+               # with no error — surface the counters every step so the
+               # training log shows them (≙ CHECK_CUDA debug posture)
+               "raster_overflow": raster.overflow.astype(jnp.float32),
+               "grid_overflow": grid.overflow.astype(jnp.float32)}
+    metrics.update({k: jax.lax.stop_gradient(v)
+                    for k, v in trace_stats.items()})
 
     if st.lambda_normal_render_depth > 0:
         l_normal = L.normal_consistency_loss(maps["rend_normal"], maps["surf_normal"])

@@ -31,6 +31,9 @@ def main():
     parser.add_argument("--iteration", type=int, default=-1)
     parser.add_argument("--skip_train", action="store_true", default=True)
     parser.add_argument("--max_images", type=int, default=-1)
+    parser.add_argument("--n_devices", type=int, default=1,
+                        help="shard the MC sample axis over N devices "
+                             "(render/eval.py render_ir_eval mesh path)")
     cfg0 = load_config(".")
     add_config_args(parser, cfg0)
     args = parser.parse_args()
@@ -58,17 +61,16 @@ def main():
         light_sample_num=cfg.pipe.light_sample_num,
         wo_indirect=cfg.pipe.wo_indirect,
         white_background=cfg.model.white_background,
-        tracer=gt.TracerConfig(grid_res=cfg.pipe.tracer_grid_res,
-                               max_cells=cfg.pipe.tracer_max_cells_eval,
-                               max_hits=cfg.pipe.tracer_max_hits_eval,
-                               hit_budget=cfg.pipe.tracer_hit_budget_eval,
-                               max_crossings=0,
-                               n_segments=cfg.pipe.tracer_n_segments_eval,
-                               retrace_frac=cfg.pipe.tracer_retrace_frac_eval))
+        tracer=gt.TracerConfig.from_pipe(cfg.pipe, eval=True))
     grid = gt.build_grid_from_gaussians(params, aux, ecfg.tracer)
 
+    mesh = None
+    if args.n_devices > 1:
+        from irgs_tpu.parallel import make_mesh
+        mesh = make_mesh(args.n_devices)
+        print(f"sample-sharded eval over {args.n_devices} devices", flush=True)
     render_j = jax.jit(lambda p, g, c: render_ir_eval(
-        p, aux, g, c, ecfg, env_transform=transform))
+        p, aux, g, c, ecfg, env_transform=transform, mesh=mesh))
 
     out_dir = os.path.join(args.model_path, "test", f"ours_{it}")
     os.makedirs(out_dir, exist_ok=True)

@@ -47,14 +47,10 @@ def test_eval_path_matches_oracle_on_shadow_scene():
     cam = toy.make_ring_cameras(4, radius=3.4, height=1.6,
                                 width=IMG, height_px=IMG)[0].params()
     cfg = Config()
-    eval_tracer = gt.TracerConfig(
-        grid_res=32, pair_capacity=2 ** 19,
-        max_cells=cfg.pipe.tracer_max_cells_eval,
-        max_hits=cfg.pipe.tracer_max_hits_eval,
-        hit_budget=cfg.pipe.tracer_hit_budget_eval,
-        max_crossings=0,
-        n_segments=cfg.pipe.tracer_n_segments_eval,
-        retrace_frac=cfg.pipe.tracer_retrace_frac_eval)
+    import dataclasses
+    eval_tracer = dataclasses.replace(
+        gt.TracerConfig.from_pipe(cfg.pipe, eval=True),
+        grid_res=32, pair_capacity=2 ** 19)
     grid = gt.build_grid_from_gaussians(params, aux, eval_tracer)
     assert int(grid.overflow) == 0
 

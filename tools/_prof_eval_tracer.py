@@ -1,0 +1,120 @@
+"""Component profile of the tracer at EVAL budgets — CHAINED timing.
+
+The axon backend memoizes repeated executions and block_until_ready does not
+synchronize, so every timed iteration perturbs its input with a value derived
+from the previous output, and a final host fetch closes the chain.
+
+Run solo on the real chip:  python tools/_prof_eval_tracer.py
+"""
+import sys, time
+sys.path.insert(0, "/root/repo")
+import numpy as np
+import jax
+import jax.numpy as jnp
+import irgs_tpu  # noqa
+from irgs_tpu.ops import grid_tracer as gt
+from irgs_tpu.scene import toy
+from irgs_tpu.utils import math3d
+
+print("devices:", jax.devices(), flush=True)
+
+params, aux = toy.make_sphere_scene(n_surface=100_000, n_capacity=2**17,
+                                    env_resolution=128)
+tc_eval = gt.TracerConfig(grid_res=48, pair_capacity=2**21, max_cells=24,
+                          max_hits=256, hit_budget=32, max_crossings=0,
+                          n_segments=3, retrace_frac=0.5)
+tc_train = gt.TracerConfig(grid_res=48, pair_capacity=2**21, max_cells=12,
+                           max_hits=40, hit_budget=16, max_crossings=24,
+                           n_segments=2, retrace_frac=0.125)
+grid = gt.build_grid_from_gaussians(params, aux, tc_eval)
+jax.block_until_ready(grid.cell_meta)
+print("grid done, overflow:", int(grid.overflow), flush=True)
+
+k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+R = 2**13
+idx = jax.random.randint(k1, (R,), 0, 100_000)
+ro0 = params.xyz[idx] + 0.05 * jax.random.normal(k2, (R, 3))
+rd0 = jax.random.normal(k3, (R, 3))
+rd0 /= jnp.linalg.norm(rd0, axis=-1, keepdims=True)
+s = params.get_scaling()
+Rm = math3d.quat_to_rotmat(params.rotation)
+inputs = gt.TraceInputs(
+    means3d=params.xyz,
+    opacity=jnp.where(aux.alive, params.get_opacity()[:, 0], 0.0),
+    ru=Rm[:, :, 0] / s[:, 0:1], rv=Rm[:, :, 1] / s[:, 1:2],
+    normals=params.world_normals(cam_pos=jnp.zeros(3)),
+    shs=params.get_features(), features=jnp.zeros((2**17, 0)))
+geom = gt._pack_geom(inputs)
+
+
+def bench_chain(step, state0, n=6, tag="", rays=R):
+    st = step(state0)
+    np.asarray(jax.tree.leaves(st)[0].ravel()[0])
+    t0 = time.time()
+    for _ in range(n):
+        st = step(st)
+    for leaf in jax.tree.leaves(st):
+        np.asarray(leaf.ravel()[0])
+    dt = (time.time() - t0) / n
+    print(f"{tag}: {dt*1e3:7.1f} ms/{rays} rays ({rays/dt/1e6:.3f} Mrays/s)",
+          flush=True)
+    return dt
+
+
+def perturb(ro, sig):
+    # tiny deterministic perturbation derived from an output scalar
+    return ro * (1.0 + 1e-6 * jnp.tanh(sig))
+
+
+for name, tc in (("eval", tc_eval), ("train", tc_train)):
+    @jax.jit
+    def step_collect(st, tc=tc):
+        ro, _ = st
+        cells = gt.collect_cells(ro, rd0, grid, tc)
+        sig = jnp.sum(cells.tin[:, 0]) * 1e-6
+        return perturb(ro, sig), sig
+
+    @jax.jit
+    def step_select(st, tc=tc):
+        ro, _ = st
+        cells = gt.collect_cells(jax.lax.stop_gradient(ro), rd0, grid, tc)
+        hits = gt.select_hits(ro, rd0, grid.sorted_gauss, cells, geom, tc, False)
+        sig = jnp.sum(hits.t_last) * 1e-6
+        return perturb(ro, sig), sig
+
+    @jax.jit
+    def step_blend(st, tc=tc):
+        ro, _ = st
+        cells = gt.collect_cells(ro, rd0, grid, tc)
+        hits = gt.select_hits(ro, rd0, grid.sorted_gauss, cells, geom, tc, False)
+        out = gt.blend_hits(ro, rd0, inputs, hits.gs, hits.valid, tc, 3)
+        sig = jnp.sum(out.alpha) * 1e-6
+        return perturb(ro, sig), sig
+
+    st0 = (ro0, jnp.float32(0))
+    d1 = bench_chain(step_collect, st0, tag=f"[{name}] collect")
+    d2 = bench_chain(step_select, st0, tag=f"[{name}] collect+select")
+    d3 = bench_chain(step_blend, st0, tag=f"[{name}] collect+select+blend")
+    print(f"[{name}]   -> select ~{1e3*(d2-d1):.1f} ms, blend ~{1e3*(d3-d2):.1f} ms",
+          flush=True)
+
+# full production trace_fn at 2^16 rays, chained
+from irgs_tpu.render import ir
+R2 = 2**16
+idx = jax.random.randint(k1, (R2,), 0, 100_000)
+roL = params.xyz[idx] + 0.05 * jax.random.normal(k2, (R2, 3))
+rdL = jax.random.normal(k3, (R2, 3))
+rdL /= jnp.linalg.norm(rdL, axis=-1, keepdims=True)
+
+for name, tc in (("eval", tc_eval), ("train", tc_train)):
+    fn = ir.make_trace_fn(params, aux, grid, tc, jnp.zeros(3), 3)
+
+    @jax.jit
+    def step_full(st, fn=fn):
+        ro, _ = st
+        out = fn(ro, rdL)
+        sig = jnp.sum(out.alpha) * 1e-6
+        return perturb(ro, sig), sig
+
+    bench_chain(step_full, (roL, jnp.float32(0)), n=3,
+                tag=f"[{name}] FULL trace_fn", rays=R2)

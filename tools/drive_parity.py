@@ -74,18 +74,17 @@ print("scene done", flush=True)
 cams = toy.make_ring_cameras(max(args.views, 4), radius=3.4, height=1.6,
                              width=IMG, height_px=IMG)
 cfg = Config()
-eval_tracer = gt.TracerConfig(
-    grid_res=cfg.pipe.tracer_grid_res,
-    max_cells=cfg.pipe.tracer_max_cells_eval,
-    max_hits=cfg.pipe.tracer_max_hits_eval,
-    hit_budget=cfg.pipe.tracer_hit_budget_eval,
-    max_crossings=0,
-    n_segments=args.eval_segments or cfg.pipe.tracer_n_segments_eval,
-    retrace_frac=args.eval_frac or cfg.pipe.tracer_retrace_frac_eval)
+import dataclasses as _dc
+eval_tracer = gt.TracerConfig.from_pipe(cfg.pipe, eval=True)
+if args.eval_segments:
+    eval_tracer = _dc.replace(eval_tracer, n_segments=args.eval_segments)
+if args.eval_frac:
+    eval_tracer = _dc.replace(eval_tracer, retrace_frac=args.eval_frac)
 if args.eval_kb:
-    import dataclasses as _dc
-    eval_tracer = _dc.replace(eval_tracer, hit_budget=args.eval_kb)
-TAG = f"sg{eval_tracer.n_segments}kb{eval_tracer.hit_budget}f{eval_tracer.retrace_frac}" 
+    eval_tracer = _dc.replace(eval_tracer, retrace_hit_budget=args.eval_kb)
+TAG = (f"nf_sg{eval_tracer.n_segments}kb{eval_tracer.hit_budget}"
+       f"rkb{eval_tracer.retrace_cfg().hit_budget}f{eval_tracer.retrace_frac}"
+       f"d{eval_tracer.retrace_decay}")
 print("grid...", flush=True)
 grid = gt.build_grid_from_gaussians(params, aux, eval_tracer)
 assert int(grid.overflow) == 0

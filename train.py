@@ -15,7 +15,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
+    # multi-chip: mesh platform/device count must be configured BEFORE jax
+    # initializes a backend, so pre-scan argv (argparse needs jax-free setup)
+    argv = sys.argv
+    _n_dev = (int(argv[argv.index("--n_devices") + 1])
+              if "--n_devices" in argv else 1)
+    _mesh_platform = (argv[argv.index("--mesh_platform") + 1]
+                      if "--mesh_platform" in argv else "auto")
+    if _n_dev > 1:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={_n_dev}")
     import jax
+    if _mesh_platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -39,6 +53,22 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--vis_interval", type=int, default=500,
                         help="save an AOV grid every N iters (0 = off)")
+    parser.add_argument("--detect_anomaly", action="store_true",
+                        help="check loss finiteness EVERY iter (costs one "
+                             "device sync per step) instead of at the log "
+                             "interval (≙ reference --detect_anomaly, "
+                             "train.py:287,324)")
+    parser.add_argument("--anomaly_continue", action="store_true",
+                        help="after dumping a reproducer, keep training "
+                             "instead of halting")
+    parser.add_argument("--n_devices", type=int, default=1,
+                        help="data-parallel over N devices: each step "
+                             "consumes N cameras, gradients pmean over the "
+                             "ICI mesh (irgs_tpu/parallel/dp.py)")
+    parser.add_argument("--mesh_platform", choices=("auto", "cpu"),
+                        default="auto",
+                        help="'cpu' forces the virtual CPU mesh (testing "
+                             "multi-chip sharding without N real chips)")
     args = parser.parse_args()
     cfg = apply_args(cfg, args)
     if not cfg.model.model_path:
@@ -49,16 +79,39 @@ def main():
     key = jax.random.PRNGKey(args.seed)
 
     if args.toy:
+        # CPU (virtual-mesh smoke tests): shrink the toy workload so GT
+        # rendering takes seconds, not minutes
+        on_cpu = jax.devices()[0].platform == "cpu"
+        if on_cpu:
+            # virtual-mesh smoke tests: shrink every budget so the whole toy
+            # pipeline (GT render + training) takes seconds on CPU
+            toy_res, toy_spp, toy_cams = 64, 8, 6
+            cfg.pipe.diffuse_sample_num = min(cfg.pipe.diffuse_sample_num, 16)
+            cfg.opt.trace_num_rays = min(cfg.opt.trace_num_rays, 2 ** 12)
+            cfg.pipe.tracer_grid_res = 16
+            cfg.pipe.tracer_max_cells = 8
+            cfg.pipe.tracer_max_hits = 16
+            cfg.pipe.tracer_hit_budget = 8
+            cfg.pipe.tracer_max_crossings = 12
+            cfg.pipe.dup_capacity = 2 ** 16
+            print("toy on CPU: shrunk sample/tracer budgets for smoke-test "
+                  "speed", flush=True)
+        else:
+            toy_res, toy_spp, toy_cams = 256, 64, 16
         params, aux = toy.make_sphere_scene(
-            n_surface=8192, n_capacity=16384,
+            n_surface=1024 if on_cpu else 8192,
+            n_capacity=2048 if on_cpu else 16384,
             env_resolution=cfg.model.envmap_resolution)
-        cams = toy.make_ring_cameras(16, width=256, height_px=256)
+        cams = toy.make_ring_cameras(toy_cams, width=toy_res, height_px=toy_res)
         # ground truth from the true scene; then reset materials
         from irgs_tpu.render.eval import EvalConfig, render_ir_eval
-        ecfg = EvalConfig(img_w=256, img_h=256, diffuse_sample_num=64,
+        ecfg = EvalConfig(img_w=toy_res, img_h=toy_res,
+                          diffuse_sample_num=toy_spp,
                           light_sample_num=0,
+                          dup_capacity=2 ** 16 if on_cpu else 2 ** 21,
                           tracer=gt.TracerConfig(
                               grid_res=cfg.pipe.tracer_grid_res,
+                              pair_capacity=2 ** 16 if on_cpu else 2 ** 21,
                               max_cells=cfg.pipe.tracer_max_cells,
                               max_hits=cfg.pipe.tracer_max_hits,
                               hit_budget=cfg.pipe.tracer_hit_budget,
@@ -126,6 +179,21 @@ def main():
     cam_params = [c.params() for c in cams]
     gt_dev = [jnp.asarray(g) for g in gt_images]
 
+    dp_step = None
+    if args.n_devices > 1:
+        from irgs_tpu.parallel import dp as dpm
+        from irgs_tpu.scene.cameras import stack_camera_params
+        if len(jax.devices()) < args.n_devices:
+            raise SystemExit(
+                f"--n_devices {args.n_devices} but only "
+                f"{len(jax.devices())} devices visible; use "
+                "--mesh_platform cpu for a virtual mesh")
+        mesh = dpm.make_mesh(args.n_devices)
+        dp_step = dpm.stage2_dp_step(mesh, st, optimizer)
+        print(f"data-parallel over {args.n_devices} devices "
+              f"({jax.devices()[0].platform}); each step consumes "
+              f"{args.n_devices} cameras", flush=True)
+
     render_vis_j = None
     if args.vis_interval:
         from irgs_tpu.render.eval import EvalConfig, render_ir_eval
@@ -147,9 +215,40 @@ def main():
                 order = rng.permutation(len(cams))
             key, k = jax.random.split(key)
             mask = jnp.asarray(masks[i]) if masks[i] is not None else None
-            state, metrics = s2.stage2_step(state, grid, cam_params[i],
-                                            gt_dev[i], mask, k,
-                                            st=st, optimizer=optimizer)
+            prev_state = state
+            if dp_step is not None:
+                from irgs_tpu.scene.cameras import stack_camera_params
+                idxs = rng.choice(len(cams), size=args.n_devices,
+                                  replace=len(cams) < args.n_devices)
+                cam_b = stack_camera_params([cams[j] for j in idxs])
+                gt_b = jnp.stack([gt_dev[j] for j in idxs])
+                keys_b = jax.random.split(k, args.n_devices)
+                state, metrics = dp_step(state, grid, cam_b, gt_b, keys_b)
+            else:
+                state, metrics = s2.stage2_step(state, grid, cam_params[i],
+                                                gt_dev[i], mask, k,
+                                                st=st, optimizer=optimizer)
+            # reproducer dump on non-finite loss (≙ the rasterizer debug
+            # snapshot dump, diff_surfel_rasterization/__init__.py:88-95):
+            # the PRE-step state + camera + PRNG key are saved so the exact
+            # failing step can be replayed offline (tools/load_reproducer.py)
+            if args.detect_anomaly or it % 50 == 0 or it == 1:
+                loss_now = float(metrics["loss"])
+                if not np.isfinite(loss_now):
+                    from irgs_tpu.utils.checkpoint import save_checkpoint
+                    rp = os.path.join(cfg.model.model_path,
+                                      f"reproducer_{it:06d}.ckpt")
+                    save_checkpoint(rp, prev_state, it,
+                                    extra={"cam_index": i,
+                                           "key": np.asarray(k).tolist(),
+                                           "loss": loss_now,
+                                           "kind": "stage2_nonfinite_loss"})
+                    print(f"ERROR iter {it}: non-finite loss ({loss_now}); "
+                          f"reproducer dumped to {rp} (replay with "
+                          "tools/load_reproducer.py)", file=sys.stderr,
+                          flush=True)
+                    if not args.anomaly_continue:
+                        raise SystemExit(3)
             if cfg.opt.lr_scale > 0:
                 grid = gt.build_grid_from_gaussians(state.params, state.aux, st.tracer)
             if it % 50 == 0 or it == 1:
@@ -158,6 +257,17 @@ def main():
                 print(json.dumps(m), flush=True)
                 logf.write(json.dumps(m) + "\n")
                 logf.flush()
+                if m.get("raster_overflow", 0) > 0 or m.get("grid_overflow", 0) > 0:
+                    print(f"WARNING iter {it}: CAPACITY OVERFLOW — "
+                          f"raster dup {m.get('raster_overflow', 0):.0f}, "
+                          f"grid pairs {m.get('grid_overflow', 0):.0f}; "
+                          "results silently degrade. Raise --dup_capacity / "
+                          "tracer pair_capacity.", file=sys.stderr, flush=True)
+                if m.get("trace_more_frac", 0) > 0.05:
+                    print(f"WARNING iter {it}: {100*m['trace_more_frac']:.1f}% "
+                          "of traced rays still truncated after all re-trace "
+                          "rounds — raise tracer_n_segments/retrace_frac.",
+                          file=sys.stderr, flush=True)
             if render_vis_j is not None and (it % args.vis_interval == 0 or it == 1):
                 from irgs_tpu.utils.vis import save_aov_grid, save_envmap_png
                 out = render_vis_j(state.params, state.aux, grid, cam_params[0])
