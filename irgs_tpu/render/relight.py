@@ -51,10 +51,11 @@ def env_query(env: RelightEnv, dirs, mode: str = "pure_env", roughness=None):
         return envlight.query_env(env.base, dirs, activation=env.activation,
                                   transform=env.transform)
     if mode == "diffuse":
-        return _activate(env, cm.sample_cubemap(env.diffuse, d))
+        return _activate(env, cm.sample_cubemap_smooth(env.diffuse, d))
     if mode == "specular":
         mip = cm.roughness_to_mip(roughness[..., 0], len(env.specular_mips))
-        return _activate(env, cm.sample_cubemap_mip(list(env.specular_mips), d, mip))
+        return _activate(env, cm.sample_cubemap_mip(list(env.specular_mips), d,
+                                                    mip, smooth=True))
     raise ValueError(mode)
 
 

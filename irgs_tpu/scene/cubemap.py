@@ -80,6 +80,59 @@ def sample_cubemap(cube, dirs):
     return (c00 * (1 - fx) + c01 * fx) * (1 - fy) + (c10 * (1 - fx) + c11 * fx) * fy
 
 
+def _uv_to_dir(face, u, v):
+    """Inverse of dir_to_cube_uv on CONTINUOUS (u, v) in [-1-2/res, 1+2/res]
+    (|u| or |v| may exceed 1 for out-of-face tap centers): the unnormalized
+    face vector of each face's parameterization (matches _face_dirs)."""
+    one = jnp.ones_like(u)
+    cand = jnp.stack([
+        jnp.stack([one, -v, -u], -1),    # +x
+        jnp.stack([-one, -v, u], -1),    # -x
+        jnp.stack([u, one, v], -1),      # +y
+        jnp.stack([u, -one, -v], -1),    # -y
+        jnp.stack([u, -v, one], -1),     # +z
+        jnp.stack([-u, -v, -one], -1),   # -z
+    ], 0)                                # [6, ..., 3]
+    sel = jax.nn.one_hot(face, 6, dtype=u.dtype)            # [..., 6]
+    return jnp.einsum("...f,f...c->...c", sel, cand)
+
+
+def sample_cubemap_smooth(cube, dirs):
+    """Seam-exact bilinear fetch (≙ dr.texture boundary_mode='cube',
+    scene/light.py:105-124): the four bilinear taps use UNCLAMPED texel
+    indices; a tap that falls outside its face is re-projected through its
+    true direction and fetched (clamped-bilinear) from the adjacent face.
+    The result is continuous across every cube edge — the clamped fetch's
+    O(1/res) seam jump vanishes (residual O(1/res^2) from the gnomonic
+    re-projection). ~4x the gathers of sample_cubemap; used on eval /
+    relight paths where sharp HDR seams are visible."""
+    res = cube.shape[1]
+    face, u, v = dir_to_cube_uv(dirs)
+    x = u * res - 0.5
+    y = v * res - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+
+    out = 0.0
+    for dx, dy, w in ((0, 0, (1 - fx) * (1 - fy)), (1, 0, fx * (1 - fy)),
+                      (0, 1, (1 - fx) * fy), (1, 1, fx * fy)):
+        xi = x0f + dx
+        yi = y0f + dy
+        oob = ((xi < 0) | (xi > res - 1) | (yi < 0)
+               | (yi > res - 1))[..., None]
+        xi_c = jnp.clip(xi, 0, res - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, res - 1).astype(jnp.int32)
+        val_in = cube[face, yi_c, xi_c]
+        u_t = (xi + 0.5) / res * 2.0 - 1.0
+        v_t = (yi + 0.5) / res * 2.0 - 1.0
+        tap_dir = _uv_to_dir(face, u_t, v_t)
+        val_out = sample_cubemap(cube, tap_dir)
+        out = out + w * jnp.where(oob, val_out, val_in)
+    return out
+
+
 def seam_blend(cube):
     """Make face borders agree across cube edges (VERDICT r1 weak #10).
 
@@ -125,7 +178,7 @@ def seam_blend(cube):
                      0.5 * (cube + other), cube)
 
 
-def sample_cubemap_mip(mips: list, dirs, mip_level):
+def sample_cubemap_mip(mips: list, dirs, mip_level, smooth=False):
     """Trilinear: blend two bilinear fetches by fractional mip level
     (≙ dr.texture 'linear-mipmap-linear')."""
     n = len(mips)
@@ -134,8 +187,9 @@ def sample_cubemap_mip(mips: list, dirs, mip_level):
     frac = (lvl - l0.astype(lvl.dtype))[..., None]
     flat0 = jnp.zeros(dirs.shape[:-1] + (mips[0].shape[-1],))
     flat1 = jnp.zeros_like(flat0)
+    sampler = sample_cubemap_smooth if smooth else sample_cubemap
     for i in range(n):
-        s = sample_cubemap(mips[i], dirs)
+        s = sampler(mips[i], dirs)
         flat0 = jnp.where((l0 == i)[..., None], s, flat0)
         flat1 = jnp.where((jnp.clip(l0 + 1, 0, n - 1) == i)[..., None], s, flat1)
     return flat0 * (1 - frac) + flat1 * frac

@@ -97,3 +97,40 @@ def test_seam_blend_reduces_edge_discontinuity():
     j0 = max_jump(cube)
     j1 = max_jump(blended)
     assert j1 < 0.7 * j0, f"seam jump {j0} -> {j1}"
+
+
+def test_sample_cubemap_smooth_matches_interior_and_kills_seams():
+    """VERDICT r2 missing #2: sample_cubemap_smooth must (a) equal the
+    clamped fetch away from face borders, (b) be continuous across cube
+    edges (no O(1/res) jump), and (c) track a smooth analytic function
+    through the seam with interior-level error."""
+    res = 16
+    dirs = cm._face_dirs(res)
+    a = jnp.asarray([[0.8, 0.1, 0.3], [0.2, 0.9, 0.1], [0.4, 0.2, 0.7]])
+    f = lambda d: jnp.maximum(d @ a.T, 0.05)
+    cube = f(dirs)
+
+    # (a) interior agreement with the clamped fetch
+    interior = safe_normalize(
+        jax.random.normal(jax.random.PRNGKey(2), (500, 3)))
+    face, u, v = cm.dir_to_cube_uv(interior)
+    inner = (u > 2.0 / res) & (u < 1 - 2.0 / res) \
+        & (v > 2.0 / res) & (v < 1 - 2.0 / res)
+    sm = np.asarray(cm.sample_cubemap_smooth(cube, interior))
+    cl = np.asarray(cm.sample_cubemap(cube, interior))
+    np.testing.assert_allclose(sm[np.asarray(inner)], cl[np.asarray(inner)],
+                               atol=1e-5)
+
+    # (b)+(c) across the +x/+z edge: jump must be sampling-step-sized and
+    # the analytic tracking error must not spike at the seam
+    t = jnp.linspace(-0.3, 0.3, 801)
+    d = jnp.stack([jnp.cos(t + jnp.pi / 4), jnp.zeros_like(t),
+                   jnp.sin(t + jnp.pi / 4)], -1)
+    vals_cl = cm.sample_cubemap(cube, d)
+    vals_sm = cm.sample_cubemap_smooth(cube, d)
+    jump_cl = float(jnp.abs(jnp.diff(vals_cl, axis=0)).max())
+    jump_sm = float(jnp.abs(jnp.diff(vals_sm, axis=0)).max())
+    assert jump_sm < 0.35 * jump_cl, f"seam jump {jump_cl} -> {jump_sm}"
+    err_sm = float(jnp.abs(vals_sm - f(d)).max())
+    err_cl = float(jnp.abs(vals_cl - f(d)).max())
+    assert err_sm <= err_cl * 0.75 + 1e-4, (err_sm, err_cl)

@@ -288,3 +288,43 @@ def test_stage1_reset_ops_and_optimizer_surgery():
     counts = [x for x in jax.tree.leaves(surg.inner_states["opacity"])
               if hasattr(x, "ndim") and x.ndim == 0]
     assert any(int(c) == 1 for c in counts)  # step count survives
+
+
+def test_nonfinite_loss_dumps_loadable_reproducer(tmp_path):
+    """VERDICT r2 item #7: an injected NaN in a toy run must halt with exit
+    code 3 and leave a reproducer checkpoint that load_checkpoint can
+    restore (pre-step state + cam index + PRNG key)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    model_dir = str(tmp_path / "nan_run")
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    proc = subprocess.run(
+        [sys.executable, "train.py", "--toy", "-m", model_dir,
+         "--iterations", "3", "--inject_nan_at", "2", "--detect_anomaly",
+         "--vis_interval", "0", "--mesh_platform", "cpu"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True, text=True, timeout=1200, env=env)
+    assert proc.returncode == 3, proc.stderr[-2000:]
+    reps = [f for f in os.listdir(model_dir) if f.startswith("reproducer_")
+            and f.endswith(".ckpt")]
+    assert reps, os.listdir(model_dir)
+    with open(os.path.join(model_dir, reps[0] + ".json")) as f:
+        manifest = json.load(f)
+    assert manifest["kind"] == "stage2_nonfinite_loss"
+    assert "cam_index" in manifest and "key" in manifest
+    # the blob itself must be loadable into a matching pytree
+    import jax.numpy as jnp
+    from irgs_tpu.config import stage1_config, Config, load_config
+    from irgs_tpu.scene import toy
+    from irgs_tpu.train import stage2 as s2
+    from irgs_tpu.utils.checkpoint import load_checkpoint
+    cfg = load_config(model_dir)
+    params, aux = toy.make_sphere_scene(n_surface=1024, n_capacity=2048,
+                                        env_resolution=cfg.model.envmap_resolution)
+    template, _ = s2.init_state(params, aux, cfg.opt)
+    state, it = load_checkpoint(os.path.join(model_dir, reps[0]), template)
+    assert it == 2
+    assert state.params.xyz.shape == params.xyz.shape

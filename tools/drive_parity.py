@@ -47,6 +47,10 @@ ap.add_argument("--eval_segments", type=int, default=0,
 ap.add_argument("--eval_kb", type=int, default=0,
                 help="override tracer_hit_budget_eval")
 ap.add_argument("--eval_frac", type=float, default=0.0)
+ap.add_argument("--eval_rh", type=int, default=0,
+                help="override retrace_max_hits (wide-round candidate cap)")
+ap.add_argument("--eval_rcr", type=int, default=-1,
+                help="override retrace_max_crossings (-1 keeps config)")
 ap.add_argument("--cache", default="/tmp/parity_cache",
                 help="directory for resumable per-image results (remote "
                      "compiles are not persistently cached, so long runs "
@@ -82,9 +86,14 @@ if args.eval_frac:
     eval_tracer = _dc.replace(eval_tracer, retrace_frac=args.eval_frac)
 if args.eval_kb:
     eval_tracer = _dc.replace(eval_tracer, retrace_hit_budget=args.eval_kb)
+if args.eval_rh:
+    eval_tracer = _dc.replace(eval_tracer, retrace_max_hits=args.eval_rh)
+if args.eval_rcr >= 0:
+    eval_tracer = _dc.replace(eval_tracer, retrace_max_crossings=args.eval_rcr)
+rc_ = eval_tracer.retrace_cfg()
 TAG = (f"nf_sg{eval_tracer.n_segments}kb{eval_tracer.hit_budget}"
-       f"rkb{eval_tracer.retrace_cfg().hit_budget}f{eval_tracer.retrace_frac}"
-       f"d{eval_tracer.retrace_decay}")
+       f"rkb{rc_.hit_budget}rh{rc_.max_hits}rcr{rc_.max_crossings}"
+       f"f{eval_tracer.retrace_frac}d{eval_tracer.retrace_decay}")
 print("grid...", flush=True)
 grid = gt.build_grid_from_gaussians(params, aux, eval_tracer)
 assert int(grid.overflow) == 0

@@ -61,6 +61,9 @@ def main():
     parser.add_argument("--anomaly_continue", action="store_true",
                         help="after dumping a reproducer, keep training "
                              "instead of halting")
+    parser.add_argument("--inject_nan_at", type=int, default=0,
+                        help="TESTING: poison the envmap with NaN before "
+                             "iter N to exercise the reproducer path")
     parser.add_argument("--n_devices", type=int, default=1,
                         help="data-parallel over N devices: each step "
                              "consumes N cameras, gradients pmean over the "
@@ -215,6 +218,10 @@ def main():
                 order = rng.permutation(len(cams))
             key, k = jax.random.split(key)
             mask = jnp.asarray(masks[i]) if masks[i] is not None else None
+            if args.inject_nan_at == it:
+                import dataclasses as _dc2
+                state = state._replace(params=_dc2.replace(
+                    state.params, env=state.params.env * jnp.nan))
             prev_state = state
             if dp_step is not None:
                 from irgs_tpu.scene.cameras import stack_camera_params
