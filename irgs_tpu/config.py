@@ -81,9 +81,19 @@ class PipelineConfig:
     tracer_max_hits_eval: int = 48
     tracer_hit_budget_eval: int = 24
     tracer_max_crossings_eval: int = 24
+    # Eval re-trace schedule: geometrically-declining unrolled rounds
+    # (retrace_frac capacity, halved per round, lax.cond-skipped when
+    # quiesced). Oracle-validated at 54.8/55.0 dB, 21 s/frame warm on the
+    # shadow workload (BASELINE.md round 3). The iterative-deepening
+    # while_loop alternative (tracer_retrace_while_eval) exists but its
+    # small-tail schedule under-covers block-heterogeneous demand (28 dB
+    # measured at tail_frac 0.02) — off until tuned.
     tracer_n_segments_eval: int = 6
     tracer_retrace_frac_eval: float = 0.5
     tracer_retrace_decay_eval: float = 0.5
+    tracer_retrace_while_eval: bool = False
+    tracer_retrace_bulk_eval: int = 2     # while-mode: unrolled bulk rounds
+    tracer_retrace_tail_frac_eval: float = 0.02
     tracer_retrace_max_cells_eval: int = 24
     tracer_retrace_max_hits_eval: int = 256
     tracer_retrace_hit_budget_eval: int = 32

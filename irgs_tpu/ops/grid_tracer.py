@@ -73,6 +73,10 @@ class TracerConfig:
                                    # per ray (0 -> grid_res, exact; ~2/3 of
                                    # grid_res is a safe practical cap)
     span_cap: int = 6              # max cells per axis per gaussian
+    # coarse-occupancy DDA (empty-space skip + completeness check). Costs
+    # ~40% of a narrow collect; it is what makes the eval re-trace loop
+    # demand-proportional (escaping rays stop being flagged truncated).
+    coarse_scan: bool = True
     transmittance_min: float = 0.03
     alpha_min: float = 1.0 / 255.0
     # segmented re-trace (≙ the CUDA raygen's "re-trace the segment until
@@ -99,6 +103,18 @@ class TracerConfig:
     retrace_decay: float = 1.0
     # skip re-trace rounds entirely (lax.cond) when no ray needs them
     adaptive: bool = True
+    # ITERATIVE DEEPENING (eval-only: lax.while_loop is not reverse-mode
+    # differentiable): after `retrace_bulk` unrolled rounds at retrace_frac
+    # capacity (the demand bulk), fixed SMALL-capacity
+    # transmittance-prioritized rounds repeat until NO ray is
+    # truncated-and-transmissive, up to n_segments-1 rounds total. Cost
+    # scales with actual demand per dispatch — robust to block-to-block
+    # demand heterogeneity (a shadow-heavy block runs many rounds, a sky
+    # block runs none) — while the cheap tail rounds stop a handful of
+    # stubborn deep rays from dragging full-capacity rounds.
+    retrace_while: bool = False
+    retrace_bulk: int = 2          # unrolled full-capacity rounds first
+    retrace_tail_frac: float = 0.02
 
     def round_capacity(self, n_rays: int, rnd: int) -> int:
         frac = self.retrace_frac * (self.retrace_decay ** rnd)
@@ -127,6 +143,12 @@ class TracerConfig:
                 n_segments=pipe.tracer_n_segments_eval,
                 retrace_frac=pipe.tracer_retrace_frac_eval,
                 retrace_decay=pipe.tracer_retrace_decay_eval,
+                retrace_while=getattr(pipe, "tracer_retrace_while_eval",
+                                      False),
+                retrace_bulk=getattr(pipe, "tracer_retrace_bulk_eval", 2),
+                retrace_tail_frac=getattr(pipe,
+                                          "tracer_retrace_tail_frac_eval",
+                                          0.02),
                 retrace_max_cells=pipe.tracer_retrace_max_cells_eval,
                 retrace_max_hits=pipe.tracer_retrace_max_hits_eval,
                 retrace_hit_budget=pipe.tracer_retrace_hit_budget_eval,
@@ -522,8 +544,12 @@ def _coarse_scan(ray_o, ray_d, grid: Grid, grid_res: int):
              ).reshape(R, Sc)
     axis_lbl = jnp.broadcast_to(
         jnp.arange(3, dtype=jnp.int32)[None, :, None], (R, 3, gc)).reshape(R, Sc)
-    t_sorted, ax_sorted = jax.lax.sort((times, axis_lbl), num_keys=1,
-                                       dimension=-1, is_stable=False)
+    # single-operand bit-packed merge (see collect_cells)
+    tbits = jax.lax.bitcast_convert_type(jnp.maximum(times, 1e-30), jnp.int32)
+    ikey_s = jax.lax.sort((tbits & ~3) | axis_lbl, dimension=-1,
+                          is_stable=False)
+    t_sorted = jax.lax.bitcast_convert_type(ikey_s & ~3, jnp.float32)
+    ax_sorted = ikey_s & 3
     onehot = jax.nn.one_hot(ax_sorted, 3, dtype=jnp.int32)
     steps = jnp.cumsum(onehot, axis=1)
     cells_j = jnp.concatenate(
@@ -564,13 +590,14 @@ def collect_cells(ray_o, ray_d, grid: Grid, cfg: TracerConfig,
     # without (b) every escaping ray in an open scene is flagged for
     # re-trace by the crossing budget (measured 84% spurious on the bench
     # scene). Both directions are conservative via the dilated map.
-    t_first_c, _tin_c, tout_c, occ_c = _coarse_scan(ray_o, ray_d, grid, g)
-    eps_skip = 1e-4 * jnp.min(grid.cell_size)
-    t_skip = jnp.minimum(t_first_c - eps_skip, INF)        # INF when no matter
-    if t_start is not None:
-        t_start = jnp.maximum(t_start, t_skip)
-    else:
-        t_start = jnp.maximum(jnp.zeros(R, ray_o.dtype), t_skip)
+    if cfg.coarse_scan:
+        t_first_c, _tin_c, tout_c, occ_c = _coarse_scan(ray_o, ray_d, grid, g)
+        eps_skip = 1e-4 * jnp.min(grid.cell_size)
+        t_skip = jnp.minimum(t_first_c - eps_skip, INF)    # INF when no matter
+        if t_start is not None:
+            t_start = jnp.maximum(t_start, t_skip)
+        else:
+            t_start = jnp.maximum(jnp.zeros(R, ray_o.dtype), t_skip)
 
     cell0, sgn, tdelta, tmax, t_enter, t_exit, hit_box = _ray_setup(
         ray_o, ray_d, grid, g, t_start=t_start)
@@ -582,11 +609,19 @@ def collect_cells(ray_o, ray_d, grid: Grid, cfg: TracerConfig,
     axis_lbl = jnp.broadcast_to(
         jnp.arange(3, dtype=jnp.int32)[None, :, None], (R, 3, k_ax)).reshape(R, S)
 
-    # NOTE: take_along_axis lowers to a pathologically slow serialized gather
-    # on this backend (~0.75 GB/s); multi-operand lax.sort carries payloads
-    # through the sort natively and is orders of magnitude faster.
-    t_sorted, ax_sorted = jax.lax.sort((times, axis_lbl), num_keys=1,
-                                       dimension=-1, is_stable=False)
+    # single-operand merge: crossing times are strictly positive, so their
+    # f32 bit patterns order as int32 — pack the axis label into the two
+    # mantissa LSBs and sort ONE int32 operand instead of (f32, i32). The
+    # 2^-22 relative perturbation of window edges is harmless: windows
+    # still PARTITION the traversal (t_out_j == t_in_{j+1}), so every hit
+    # is accepted exactly once. (take_along_axis lowers to a pathologically
+    # slow serialized gather on this backend; payload sorts are the fast
+    # path, and fewer operands are faster still.)
+    tbits = jax.lax.bitcast_convert_type(jnp.maximum(times, 1e-30), jnp.int32)
+    ikey = (tbits & ~3) | axis_lbl
+    ikey_s = jax.lax.sort(ikey, dimension=-1, is_stable=False)
+    t_sorted = jax.lax.bitcast_convert_type(ikey_s & ~3, jnp.float32)
+    ax_sorted = ikey_s & 3
 
     # cell after j crossings = cell0 + sgn * (#crossings per axis among first j)
     onehot = jax.nn.one_hot(ax_sorted, 3, dtype=jnp.int32)          # [R, S, 3]
@@ -607,11 +642,12 @@ def collect_cells(ray_o, ray_d, grid: Grid, cfg: TracerConfig,
     # drop it and flag the traversal incomplete so a re-trace resumes there
     horizon = t_sorted[:, -1]
     incomplete = hit_box & (horizon < t_exit)
-    # coarse completeness: if no occupied supercell's window extends past
-    # the horizon, nothing was missed — the traversal is complete even
-    # though the crossing budget ended inside the box
-    beyond = jnp.any(occ_c & (tout_c > horizon[:, None]), axis=-1)
-    incomplete = incomplete & beyond
+    if cfg.coarse_scan:
+        # coarse completeness: if no occupied supercell's window extends
+        # past the horizon, nothing was missed — the traversal is complete
+        # even though the crossing budget ended inside the box
+        beyond = jnp.any(occ_c & (tout_c > horizon[:, None]), axis=-1)
+        incomplete = incomplete & beyond
     last_col = jnp.arange(S + 1, dtype=jnp.int32)[None] == S
     seg_valid = seg_valid & ~(last_col & incomplete[:, None])
     if t_start is not None:
@@ -621,18 +657,22 @@ def collect_cells(ray_o, ray_d, grid: Grid, cfg: TracerConfig,
         t_in_j = jnp.maximum(t_in_j, t_start[:, None])
     cc = jnp.clip(cells_j, 0, g - 1)
     cid = (cc[..., 2] * g + cc[..., 1]) * g + cc[..., 0]
-    cell_start, cell_cnt = unpack_cell_meta(grid.cell_meta[cid])  # one flat gather
-    cnt = jnp.where(seg_valid, cell_cnt, 0)
+    meta = grid.cell_meta[cid]                             # one flat gather
+    # zero the meta of invalid/empty segments: the packed word is nonzero
+    # iff the segment is a valid non-empty cell (count > 0 lives in the low
+    # bits), so (start, count) ride the pack sort as ONE int32 payload
+    meta_v = jnp.where(seg_valid & ((meta & _COUNT_MASK) > 0), meta, 0)
 
     # pack the first max_cells non-empty segments per ray: one payload sort
     # by (empty?, traversal order) pushes the non-empty segments to the front
-    nonempty = cnt > 0
-    pos = jnp.broadcast_to(jnp.arange(cnt.shape[1], dtype=jnp.int32)[None],
-                           cnt.shape)
+    nonempty = meta_v != 0
+    pos = jnp.broadcast_to(jnp.arange(meta_v.shape[1], dtype=jnp.int32)[None],
+                           meta_v.shape)
     key = jnp.where(nonempty, pos, jnp.int32(1 << 30))
-    _, starts_p, counts_p, tin_p, tout_p = jax.lax.sort(
-        (key, cell_start, cnt, t_in_j, t_out_j),
+    _, meta_p, tin_p, tout_p = jax.lax.sort(
+        (key, meta_v, t_in_j, t_out_j),
         num_keys=1, dimension=-1, is_stable=False)
+    starts_p, counts_p = unpack_cell_meta(meta_p)
     # after the sort, slots past the last non-empty segment carry cnt == 0
     truncated = (jnp.sum(nonempty.astype(jnp.int32), axis=-1) > C) | incomplete
     resume = jnp.where(incomplete, horizon, 0.0)
@@ -881,8 +921,10 @@ def _retrace_body(out, hits, need, ray_o, ray_d, grid, inputs, cfg, sh_deg,
                   capacity, back_culling):
     ro = jax.lax.stop_gradient(ray_o)
     rd = jax.lax.stop_gradient(ray_d)
-    # compaction: top-k on the boolean picks `capacity` needing rays
-    score = need.astype(jnp.float32)
+    # compaction, prioritized by remaining transmittance: when more rays
+    # need re-tracing than the round's capacity, the most transmissive ones
+    # (largest un-resolved radiance fraction) win the slots
+    score = jnp.where(need, jax.lax.stop_gradient(out.trans), 0.0)
     _, idx = jax.lax.top_k(score, capacity)
     picked = need[idx]                                     # [capacity]
 
@@ -965,6 +1007,54 @@ def _retrace_body(out, hits, need, ray_o, ray_d, grid, inputs, cfg, sh_deg,
     return new_out, new_hits
 
 
+def retrace_rounds(out: TraceOut, hits: SelectedHits, ray_o, ray_d,
+                   grid: Grid, inputs: TraceInputs, cfg: TracerConfig,
+                   sh_deg: int, back_culling: bool = False):
+    """Run the configured re-trace rounds on a first-pass (out, hits).
+
+    Two schedules: the decayed unrolled one (differentiable — training), or
+    iterative deepening (cfg.retrace_while, eval-only): a while_loop of
+    fixed-capacity transmittance-prioritized rounds that stops as soon as no
+    ray is truncated-and-transmissive (≙ the CUDA raygen's unbounded
+    per-segment loop, gaussiantrace_forward.cu:27-103, bounded by
+    n_segments-1 rounds)."""
+    if cfg.n_segments <= 1:
+        return out, hits
+    rcfg = cfg.retrace_cfg()
+    n_rays = ray_o.shape[0]
+    if cfg.retrace_while:
+        cap = max(1, min(n_rays, int(n_rays * cfg.retrace_frac)))
+        tail_cap = max(1, min(n_rays, int(n_rays * cfg.retrace_tail_frac)))
+        tmin = cfg.transmittance_min
+        n_bulk = min(cfg.retrace_bulk, cfg.n_segments - 1)
+
+        # bulk: unrolled full-capacity rounds (lax.cond-gated inside)
+        for _ in range(n_bulk):
+            out, hits = retrace_pass(out, hits, ray_o, ray_d, grid, inputs,
+                                     rcfg, sh_deg, cap, back_culling)
+
+        def cond(carry):
+            o, h, rnd = carry
+            need = h.more & (o.trans > tmin)
+            return (rnd < cfg.n_segments - 1 - n_bulk) & jnp.any(need)
+
+        def body(carry):
+            o, h, rnd = carry
+            need = h.more & (o.trans > tmin)
+            o2, h2 = _retrace_body(o, h, need, ray_o, ray_d, grid, inputs,
+                                   rcfg, sh_deg, tail_cap, back_culling)
+            return o2, h2, rnd + 1
+
+        out, hits, _ = jax.lax.while_loop(cond, body,
+                                          (out, hits, jnp.int32(0)))
+        return out, hits
+    for rnd in range(cfg.n_segments - 1):
+        out, hits = retrace_pass(out, hits, ray_o, ray_d, grid, inputs, rcfg,
+                                 sh_deg, cfg.round_capacity(n_rays, rnd),
+                                 back_culling)
+    return out, hits
+
+
 def trace_segments(ray_o, ray_d, grid: Grid, inputs: TraceInputs, *,
                    cfg: TracerConfig, sh_deg: int,
                    back_culling: bool = False) -> TraceOut:
@@ -980,12 +1070,8 @@ def trace_segments(ray_o, ray_d, grid: Grid, inputs: TraceInputs, *,
     hits = select_hits(ro, rd, grid.sorted_gauss, cells, geom, cfg,
                        back_culling)
     out = blend_hits(ray_o, ray_d, inputs, hits.gs, hits.valid, cfg, sh_deg)
-    r = ray_o.shape[0]
-    rcfg = cfg.retrace_cfg()
-    for rnd in range(max(0, cfg.n_segments - 1)):
-        out, hits = retrace_pass(out, hits, ray_o, ray_d, grid, inputs, rcfg,
-                                 sh_deg, cfg.round_capacity(r, rnd),
-                                 back_culling)
+    out, hits = retrace_rounds(out, hits, ray_o, ray_d, grid, inputs, cfg,
+                               sh_deg, back_culling)
     return out
 
 
@@ -1024,18 +1110,24 @@ def trace_reference(ray_o, ray_d, inputs: TraceInputs, alive, *,
     alpha = jnp.where(accept, alpha, 0.0)
 
     # multi-operand payload sort (argsort + take_along_axis lowers to a
-    # pathologically slow serialized gather on this backend)
+    # pathologically slow serialized gather on this backend). The gaussian
+    # INDEX is a secondary key: coplanar splats produce EXACT depth ties
+    # (e.g. a ground plane of flat disks), and an unstable single-key sort
+    # orders them backend-dependently — the index key restores the stable
+    # argsort semantics the grid tracer's select also uses.
     feat_b = jnp.broadcast_to(feat, d.shape + (feat.shape[-1],))
-    ops = [jnp.where(accept, d, INF), alpha, d,
+    idx = jnp.broadcast_to(
+        jnp.arange(d.shape[-1], dtype=jnp.int32)[None], d.shape)
+    ops = [jnp.where(accept, d, INF), idx, alpha, d,
            color[..., 0], color[..., 1], color[..., 2],
            n_flip[..., 0], n_flip[..., 1], n_flip[..., 2]]
     ops += [feat_b[..., i] for i in range(feat.shape[-1])]
-    sorted_ops = jax.lax.sort(tuple(ops), num_keys=1, dimension=-1,
+    sorted_ops = jax.lax.sort(tuple(ops), num_keys=2, dimension=-1,
                               is_stable=False)
-    alpha_s, d_s = sorted_ops[1], sorted_ops[2]
-    color_s = jnp.stack(sorted_ops[3:6], -1)
-    nrm_s = jnp.stack(sorted_ops[6:9], -1)
-    feat_s = (jnp.stack(sorted_ops[9:], -1) if feat.shape[-1]
+    alpha_s, d_s = sorted_ops[2], sorted_ops[3]
+    color_s = jnp.stack(sorted_ops[4:7], -1)
+    nrm_s = jnp.stack(sorted_ops[7:10], -1)
+    feat_s = (jnp.stack(sorted_ops[10:], -1) if feat.shape[-1]
               else jnp.zeros(d.shape + (0,)))
     lg = jnp.log1p(-alpha_s)
     T = jnp.exp(jnp.cumsum(lg, -1) - lg)

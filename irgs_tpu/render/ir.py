@@ -308,11 +308,8 @@ def make_trace_fn(params, aux, grid, tracer_cfg: gt.TracerConfig,
             if tracer_cfg.n_segments > 1:
                 # segmented re-trace on the padded, coherence-sorted arrays
                 # (≙ gaussiantrace_forward.cu:27-103's per-segment loop)
-                rcfg = tracer_cfg.retrace_cfg()
-                for rnd in range(tracer_cfg.n_segments - 1):
-                    out, hits = gt.retrace_pass(
-                        out, hits, rop, rdp, grid, inputs, rcfg,
-                        sh_deg, tracer_cfg.round_capacity(mp, rnd))
+                out, hits = gt.retrace_rounds(out, hits, rop, rdp, grid,
+                                              inputs, tracer_cfg, sh_deg)
             if stats_out is not None:
                 need_end = hits.more & (jax.lax.stop_gradient(out.trans)
                                         > tracer_cfg.transmittance_min)

@@ -281,3 +281,35 @@ def test_make_trace_fn_chunked_retrace_matches_direct():
     np.testing.assert_allclose(np.asarray(out_chunked.color),
                                np.asarray(direct.color), atol=1e-5)
     assert float(direct.alpha.max()) > 0.5
+
+
+def test_trace_reference_coplanar_tie_order():
+    """Coplanar splats produce EXACT depth ties; the oracle must blend them
+    in stable index order (the grid tracer's select tie-break) or its output
+    becomes backend-dependent — an unstable single-key payload sort cost
+    26 dB of oracle parity on the shadow scene (round 3)."""
+    n = 6
+    # n coplanar unit disks at z=0, all covering the origin, alphas distinct
+    inputs = gt.TraceInputs(
+        means3d=jnp.zeros((n, 3)),
+        opacity=jnp.linspace(0.2, 0.9, n),
+        ru=jnp.tile(jnp.array([[8.0, 0, 0]]), (n, 1)),
+        rv=jnp.tile(jnp.array([[0, 8.0, 0]]), (n, 1)),
+        normals=jnp.tile(jnp.array([[0.0, 0, 1.0]]), (n, 1)),
+        shs=jnp.arange(n, dtype=jnp.float32)[:, None, None]
+            * jnp.ones((n, 16, 3)) * 0.05,
+        features=jnp.zeros((n, 0)),
+    )
+    alive = jnp.ones(n, bool)
+    ro = jnp.array([[0.0, 0.0, -2.0]])
+    rd = jnp.array([[0.0, 0.0, 1.0]])
+    out = gt.trace_reference(ro, rd, inputs, alive, sh_deg=0)
+
+    # hand-rolled stable front-to-back blend in index order
+    a = np.asarray(inputs.opacity)
+    T = np.cumprod(np.concatenate([[1.0], 1.0 - a]))[:-1]
+    w = a * T
+    w[T <= 0.03] = 0.0
+    base = np.maximum(np.asarray(inputs.shs)[:, 0, :] * 0.282095 + 0.5, 0.0)
+    np.testing.assert_allclose(np.asarray(out.color[0]), w @ base, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.alpha[0]), w.sum(), rtol=1e-5)

@@ -51,6 +51,10 @@ ap.add_argument("--eval_rh", type=int, default=0,
                 help="override retrace_max_hits (wide-round candidate cap)")
 ap.add_argument("--eval_rcr", type=int, default=-1,
                 help="override retrace_max_crossings (-1 keeps config)")
+ap.add_argument("--eval_while", type=int, default=-1,
+                help="override retrace_while (0/1; -1 keeps config)")
+ap.add_argument("--eval_decay", type=float, default=0.0,
+                help="override retrace_decay (0 keeps config)")
 ap.add_argument("--cache", default="/tmp/parity_cache",
                 help="directory for resumable per-image results (remote "
                      "compiles are not persistently cached, so long runs "
@@ -90,10 +94,15 @@ if args.eval_rh:
     eval_tracer = _dc.replace(eval_tracer, retrace_max_hits=args.eval_rh)
 if args.eval_rcr >= 0:
     eval_tracer = _dc.replace(eval_tracer, retrace_max_crossings=args.eval_rcr)
+if args.eval_while >= 0:
+    eval_tracer = _dc.replace(eval_tracer, retrace_while=bool(args.eval_while))
+if args.eval_decay:
+    eval_tracer = _dc.replace(eval_tracer, retrace_decay=args.eval_decay)
 rc_ = eval_tracer.retrace_cfg()
 TAG = (f"nf_sg{eval_tracer.n_segments}kb{eval_tracer.hit_budget}"
        f"rkb{rc_.hit_budget}rh{rc_.max_hits}rcr{rc_.max_crossings}"
-       f"f{eval_tracer.retrace_frac}d{eval_tracer.retrace_decay}")
+       f"f{eval_tracer.retrace_frac}d{eval_tracer.retrace_decay}"
+       f"w{int(eval_tracer.retrace_while)}")
 print("grid...", flush=True)
 grid = gt.build_grid_from_gaussians(params, aux, eval_tracer)
 assert int(grid.overflow) == 0
