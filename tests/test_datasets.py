@@ -130,3 +130,26 @@ def test_resolution_scaling(tmp_path):
     np.testing.assert_allclose(half.K[:2, 2], [8.0, 6.0])
     np.testing.assert_allclose(half.K[2], [0, 0, 1])
     assert half.image.shape == (12, 16, 3)
+
+
+def test_ray_bank_batches():
+    """≙ Scene.train_rays + get_batch_rays (scene/__init__.py:96-110,
+    133-136): the bank flattens every training pixel of every camera and
+    samples uniform ray batches."""
+    import numpy as np
+    from irgs_tpu.scene import toy
+    from irgs_tpu.scene.raybank import RayBank
+
+    cams = toy.make_ring_cameras(3, width=16, height_px=16)
+    for c in cams:
+        c.image = np.random.RandomState(0).rand(16, 16, 3).astype(np.float32)
+    bank = RayBank(cams, batch_size=64)
+    assert len(bank) == 3 * 16 * 16
+    ro, rd, rgb = bank.get_batch_rays()
+    assert ro.shape == (64, 3) and rd.shape == (64, 3) and rgb.shape == (64, 3)
+    # directions unit-norm, origins are camera positions
+    n = np.linalg.norm(np.asarray(rd), axis=-1)
+    np.testing.assert_allclose(n, 1.0, atol=1e-5)
+    cam_pos = {tuple(np.asarray(c.params().cam_pos).round(5)) for c in cams}
+    for o in np.asarray(ro)[:8]:
+        assert tuple(o.round(5)) in cam_pos
