@@ -1,0 +1,82 @@
+"""Default-config tracer bias vs the EXACT brute-force oracle (VERDICT r2
+weak #3 / next-round item #2).
+
+Runs the SHIPPING training tracer config (Config().pipe, exactly what
+train.py uses) and the shipping eval config against gt.trace_reference on
+the dense stress scene (100k overlapping surfels, rays from surface points
+in random directions incl. occluded ones — the shadow/interreflection
+regime). Prints the |dcolor|/|dalpha| rows for BASELINE.md.
+
+Run solo on the TPU:  python tools/audit_train_budget.py
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import irgs_tpu  # noqa: F401
+from irgs_tpu.config import Config
+from irgs_tpu.ops import grid_tracer as gt
+from irgs_tpu.render import ir
+from irgs_tpu.scene import toy
+from irgs_tpu.utils import math3d
+
+N_RAYS = 512
+ORACLE_CHUNK = 64
+
+params, aux = toy.make_sphere_scene(n_surface=100_000, n_capacity=2 ** 17,
+                                    env_resolution=64)
+k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+idx = jax.random.randint(k1, (N_RAYS,), 0, 100_000)
+ro = params.xyz[idx] + 0.05 * jax.random.normal(k2, (N_RAYS, 3))
+rd = jax.random.normal(k3, (N_RAYS, 3))
+rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+
+s = params.get_scaling()
+Rm = math3d.quat_to_rotmat(params.rotation)
+inputs = gt.TraceInputs(
+    means3d=params.xyz,
+    opacity=jnp.where(aux.alive, params.get_opacity()[:, 0], 0.0),
+    ru=Rm[:, :, 0] / s[:, 0:1], rv=Rm[:, :, 1] / s[:, 1:2],
+    normals=params.world_normals(cam_pos=jnp.zeros(3)),
+    shs=params.get_features(), features=jnp.zeros((2 ** 17, 0)))
+
+
+@jax.jit
+def oracle_chunk(a, b):
+    out = gt.trace_reference(a, b, inputs, aux.alive, sh_deg=3)
+    return gt.normalize_trace(out, 0.03)
+
+
+outs = []
+for c in range(0, N_RAYS, ORACLE_CHUNK):
+    o = oracle_chunk(ro[c:c + ORACLE_CHUNK], rd[c:c + ORACLE_CHUNK])
+    jax.block_until_ready(o.alpha)
+    outs.append(o)
+ref = gt.TraceOut(*[jnp.concatenate([getattr(o, f) for o in outs])
+                    for f in gt.TraceOut._fields])
+print("oracle done", flush=True)
+
+cfg = Config()
+rows = []
+for name, tc in (
+        ("shipping TRAIN config", gt.TracerConfig.from_pipe(cfg.pipe)),
+        ("shipping EVAL config", gt.TracerConfig.from_pipe(cfg.pipe, eval=True)),
+):
+    grid = gt.build_grid_from_gaussians(params, aux, tc)
+    tf = ir.make_trace_fn(params, aux, grid, tc, jnp.zeros(3), 3)
+    f = jax.jit(lambda a, b: tf(a, b))
+    out = f(ro, rd)
+    jax.block_until_ready(out.alpha)
+    dc = float(jnp.abs(out.color - ref.color).mean())
+    da = float(jnp.abs(out.alpha - ref.alpha).mean())
+    dcm = float(jnp.abs(out.color - ref.color).max())
+    print(f"{name} ({tc.max_cells}c,{tc.max_hits}h,{tc.hit_budget}kb,"
+          f"{tc.max_crossings}cr,seg{tc.n_segments}/f{tc.retrace_frac}"
+          f"d{tc.retrace_decay}): mean|dcolor|={dc:.5f} "
+          f"mean|dalpha|={da:.5f} max|dcolor|={dcm:.4f}", flush=True)
+    rows.append((name, dc, da))

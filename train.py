@@ -101,10 +101,21 @@ def main():
                   "speed", flush=True)
         else:
             toy_res, toy_spp, toy_cams = 256, 64, 16
-        params, aux = toy.make_sphere_scene(
-            n_surface=1024 if on_cpu else 8192,
-            n_capacity=2048 if on_cpu else 16384,
-            env_resolution=cfg.model.envmap_resolution)
+        if args.start_checkpoint:
+            # two-stage toy pipeline: GT comes from the SAME underlying toy
+            # scene train_refgaussian.py --toy reconstructs (its gt_params),
+            # so the bridged stage-1 geometry is consistent with the images
+            params, aux = toy.make_sphere_scene(
+                n_surface=4096, n_capacity=8192,
+                env_resolution=cfg.model.envmap_resolution)
+        elif on_cpu:
+            params, aux = toy.make_sphere_scene(
+                n_surface=1024, n_capacity=2048,
+                env_resolution=cfg.model.envmap_resolution)
+        else:
+            params, aux = toy.make_sphere_scene(
+                n_surface=8192, n_capacity=16384,
+                env_resolution=cfg.model.envmap_resolution)
         cams = toy.make_ring_cameras(toy_cams, width=toy_res, height_px=toy_res)
         # ground truth from the true scene; then reset materials
         from irgs_tpu.render.eval import EvalConfig, render_ir_eval
@@ -126,13 +137,28 @@ def main():
         import dataclasses
         from irgs_tpu.utils.math3d import inverse_sigmoid
         from irgs_tpu.scene.gaussians import inverse_base_color_activation
-        params = dataclasses.replace(
-            params,
-            base_color=jnp.full_like(params.base_color, float(
-                inverse_base_color_activation(jnp.float32(cfg.opt.init_base_color_value)))),
-            roughness=jnp.full_like(params.roughness, float(
-                inverse_sigmoid(jnp.float32(cfg.opt.init_roughness_value)))),
-            env=jnp.zeros_like(params.env))
+        if args.start_checkpoint:
+            # bridge the stage-1 toy reconstruction into stage-2 params
+            from irgs_tpu.train.stage1_full import load_stage1_checkpoint
+            s1_state, s1_iter, _ = load_stage1_checkpoint(args.start_checkpoint)
+            params, aux = G.from_refgs(
+                s1_state.params, s1_state.aux,
+                env_resolution=cfg.model.envmap_resolution,
+                env_init_value=cfg.model.envmap_init_value,
+                env_activation=cfg.model.envmap_activation,
+                init_base_color=cfg.opt.init_base_color_value,
+                init_metallic=cfg.opt.init_metallic_value,
+                init_roughness=cfg.opt.init_roughness_value)
+            print(f"restored stage-1 toy geometry @ iter {s1_iter} "
+                  f"({int(aux.n_alive)} gaussians)", flush=True)
+        else:
+            params = dataclasses.replace(
+                params,
+                base_color=jnp.full_like(params.base_color, float(
+                    inverse_base_color_activation(jnp.float32(cfg.opt.init_base_color_value)))),
+                roughness=jnp.full_like(params.roughness, float(
+                    inverse_sigmoid(jnp.float32(cfg.opt.init_roughness_value)))),
+                env=jnp.zeros_like(params.env))
         light_transform = None
     else:
         from irgs_tpu.scene.datasets import (LIGHT_ROTATE_TRANSFORM, load_scene)
