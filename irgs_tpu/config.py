@@ -63,12 +63,21 @@ class PipelineConfig:
     tracer_grid_res: int = 48
     tracer_max_cells: int = 12
     tracer_max_hits: int = 40
+    # tier-1 cheap-screen width (0 = off): candidates enumerated and screened
+    # by a conservative ray-line-distance test before compaction into the
+    # max_hits exact slots (ops/grid_tracer.py select_hits two-tier mode).
+    # Decouples per-segment progress from the exact-test width in
+    # candidate-rich low-acceptance cells (~2% accept on dense scenes).
+    # Tuned on the dense stress scene vs the exact oracle
+    # (tools/audit_train_budget.py): 512 + seg3/f0.25 drops training-path
+    # mean|dcolor| 0.168 -> 0.012 (BASELINE.md round 3).
+    tracer_prefilter_width: int = 512
     tracer_hit_budget: int = 16
     tracer_max_crossings: int = 24
     # segmented re-trace (≙ the OptiX raygen's per-segment loop,
     # gaussiantrace_forward.cu:27-103); 1 = off
-    tracer_n_segments: int = 2
-    tracer_retrace_frac: float = 0.125
+    tracer_n_segments: int = 3
+    tracer_retrace_frac: float = 0.25
     # EVAL budgets: the 512+256-spp eval path pays wide candidate budgets +
     # deeper re-trace for near-oracle fidelity (|dcolor| < 2e-3 vs the
     # brute-force oracle on the dense stress scene; tools/trace_fidelity.py)
@@ -79,6 +88,11 @@ class PipelineConfig:
     # _coarse_scan) keeps escaping rays out of the re-trace set.
     tracer_max_cells_eval: int = 12
     tracer_max_hits_eval: int = 48
+    # two-tier screen widths: lean first pass 256, wide re-trace rounds 1024
+    # (stress-scene oracle bias 0.00029 — 6x better than the r2 wide-first
+    # config, at narrow-first cost; tools/audit_train_budget.py)
+    tracer_prefilter_width_eval: int = 256
+    tracer_retrace_prefilter_width_eval: int = 1024
     tracer_hit_budget_eval: int = 24
     tracer_max_crossings_eval: int = 24
     # Eval re-trace schedule: geometrically-declining unrolled rounds

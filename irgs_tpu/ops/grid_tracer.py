@@ -64,7 +64,14 @@ class TracerConfig:
     grid_res: int = 64
     pair_capacity: int = 2 ** 21
     max_cells: int = 12            # non-empty cells recorded per ray
-    max_hits: int = 48             # candidate intersections considered per ray
+    max_hits: int = 48             # candidates paying the EXACT hit test
+    prefilter_width: int = 0       # tier-1 cheap-screen width (0 = off):
+                                   # candidates enumerated and screened by
+                                   # the conservative ray-line-distance test
+                                   # before compaction into max_hits exact
+                                   # slots. In candidate-rich low-acceptance
+                                   # cells (~2% accept) this sets the real
+                                   # per-segment progress rate.
     hit_budget: int = 16           # nearest accepted hits actually blended
                                    # (≙ the reference's 16-slot k-buffer,
                                    # surfel_tracer auxiliary.h:10); the SH
@@ -94,6 +101,7 @@ class TracerConfig:
     # wide-candidate costs.
     retrace_max_cells: int = 0
     retrace_max_hits: int = 0
+    retrace_prefilter_width: int = 0
     retrace_hit_budget: int = 0
     retrace_max_crossings: int = -1
     # capacity multiplier per successive round: round r gets
@@ -125,6 +133,8 @@ class TracerConfig:
             self,
             max_cells=self.retrace_max_cells or self.max_cells,
             max_hits=self.retrace_max_hits or self.max_hits,
+            prefilter_width=(self.retrace_prefilter_width
+                             or self.prefilter_width),
             hit_budget=self.retrace_hit_budget or self.hit_budget,
             max_crossings=(self.max_crossings if self.retrace_max_crossings < 0
                            else self.retrace_max_crossings))
@@ -138,6 +148,10 @@ class TracerConfig:
                 grid_res=pipe.tracer_grid_res,
                 max_cells=pipe.tracer_max_cells_eval,
                 max_hits=pipe.tracer_max_hits_eval,
+                prefilter_width=getattr(pipe, "tracer_prefilter_width_eval",
+                                        0),
+                retrace_prefilter_width=getattr(
+                    pipe, "tracer_retrace_prefilter_width_eval", 0),
                 hit_budget=pipe.tracer_hit_budget_eval,
                 max_crossings=pipe.tracer_max_crossings_eval,
                 n_segments=pipe.tracer_n_segments_eval,
@@ -159,6 +173,7 @@ class TracerConfig:
             grid_res=pipe.tracer_grid_res,
             max_cells=pipe.tracer_max_cells,
             max_hits=pipe.tracer_max_hits,
+            prefilter_width=getattr(pipe, "tracer_prefilter_width", 0),
             hit_budget=pipe.tracer_hit_budget,
             max_crossings=pipe.tracer_max_crossings,
             n_segments=pipe.tracer_n_segments,
@@ -636,11 +651,15 @@ def collect_cells(ray_o, ray_d, grid: Grid, cfg: TracerConfig,
     in_bounds = jnp.all((cells_j >= 0) & (cells_j < g), axis=-1)
     seg_valid = (in_bounds & hit_box[:, None]
                  & (t_in_j < t_out_j) & (t_in_j < t_exit[:, None]))
-    # crossing-budget horizon: if the ray would cross more boundaries than
-    # the max_crossings budget enumerates, the trailing segment's window
-    # [last crossing, box exit) spans cells that were never identified —
-    # drop it and flag the traversal incomplete so a re-trace resumes there
-    horizon = t_sorted[:, -1]
+    # crossing-budget horizon: the budget is PER AXIS, so the enumerated
+    # cell sequence is only valid until the FIRST MISSING crossing —
+    # min over axes of (tmax_a + k_ax·tdelta_a). Beyond that t the axis
+    # that exhausted its budget silently freezes and the derived cells are
+    # phantoms (a ray moving fast along one axis drifts a whole cell off —
+    # measured as alpha=0-vs-oracle-1 rays on the dense stress scene).
+    # Windows are clipped to the horizon and the traversal flagged
+    # incomplete so a re-trace resumes there with a fresh DDA.
+    horizon = jnp.min(tmax + k_ax * tdelta, axis=-1)
     incomplete = hit_box & (horizon < t_exit)
     if cfg.coarse_scan:
         # coarse completeness: if no occupied supercell's window extends
@@ -648,8 +667,8 @@ def collect_cells(ray_o, ray_d, grid: Grid, cfg: TracerConfig,
         # even though the crossing budget ended inside the box
         beyond = jnp.any(occ_c & (tout_c > horizon[:, None]), axis=-1)
         incomplete = incomplete & beyond
-    last_col = jnp.arange(S + 1, dtype=jnp.int32)[None] == S
-    seg_valid = seg_valid & ~(last_col & incomplete[:, None])
+    t_out_j = jnp.minimum(t_out_j, horizon[:, None])
+    seg_valid = seg_valid & (t_in_j < horizon[:, None])
     if t_start is not None:
         # re-trace restart: only windows that end past t_start matter; the
         # entry edge is clipped so hit acceptance starts at the restart point
@@ -692,9 +711,22 @@ def _pack_geom(inputs: TraceInputs):
          inputs.normals], axis=-1)                       # [N, 13]
 
 
+def _pack_prefilter(geom):
+    """[7, N] transposed (center ‖ normal ‖ bounding radius) table for the
+    tier-1 candidate pre-filter; derived from the packed geometry table
+    (mean3 | opacity | ru3 | rv3 | normal3). The radius folds opacity in:
+    a plane-intersection point farther than r from the center provably has
+    α < α_min (isotropic bound |p_world| ≤ s_max·|p_local|)."""
+    su = 1.0 / jnp.maximum(jnp.linalg.norm(geom[:, 4:7], axis=-1), 1e-12)
+    sv = 1.0 / jnp.maximum(jnp.linalg.norm(geom[:, 7:10], axis=-1), 1e-12)
+    r = bounding_radius(geom[:, 3], jnp.stack([su, sv], -1), 1.0 / 255.0)
+    return jnp.concatenate([geom[:, 0:3].T, geom[:, 10:13].T, r[None]],
+                           axis=0)
+
+
 def select_hits(ray_o, ray_d, sorted_gauss, cells: Cells, geom,
                 cfg: TracerConfig, back_culling: bool,
-                t_start=None, cand_skip=None) -> SelectedHits:
+                t_start=None, cand_skip=None, prefilt=None) -> SelectedHits:
     """Index-only hit selection: expand recorded cells into candidates,
     evaluate acceptance, depth-sort, keep the nearest `hit_budget` hits.
 
@@ -703,6 +735,18 @@ def select_hits(ray_o, ray_d, sorted_gauss, cells: Cells, geom,
     hits (gaussiantrace_backward.cu:11-171). Callers run this once outside
     the AD region (analogous to collect_cells), so the expensive 48-wide
     candidate expansion, gather, and sort never appear in the backward.
+
+    TWO-TIER mode (cfg.prefilter_width > max_hits): candidates are first
+    enumerated at the wide prefilter width and screened by a CHEAP
+    conservative test on a 4-float transposed table — ray-line distance vs
+    the bounding radius, plus window overlap of the possible depth range
+    [proj−r, proj+r]. A candidate failing it provably has α < α_min, so
+    rejection is exact. Survivors are compacted (single-operand sort of
+    enumeration indices) into the narrow `max_hits` slots that pay the full
+    13-float gather + exact hit math. This decouples "candidates examined
+    per segment" (set by acceptance density: ~2% in candidate-rich cells,
+    where an OptiX BVH reports only true intersections —
+    gaussiantrace_forward.cu:120-141) from the exact-test width.
 
     `t_start` [R]: only accept hits strictly past it (re-trace restart).
     `cand_skip` [R]: skip that many candidates of the FIRST recorded cell
@@ -715,45 +759,95 @@ def select_hits(ray_o, ray_d, sorted_gauss, cells: Cells, geom,
         starts = starts.at[:, 0].add(skip0)
         counts = counts.at[:, 0].add(-skip0)
     R, C = starts.shape
-    H = cfg.max_hits
+    H2 = cfg.max_hits                                     # exact-test width
+    H1 = max(cfg.prefilter_width, H2)                     # enumeration width
+    two_tier = H1 > H2
+    BIG = jnp.int32(1 << 30)
 
     cum = jnp.cumsum(counts, axis=-1)                     # [R, C]
     excl = cum - counts
-    h = jnp.arange(H, dtype=jnp.int32)[None]              # [1, H]
-    # candidate h belongs to cell c(h) = #{cells with cum <= h}; built by an
-    # unrolled loop over the small static C axis — a [R, H, C] one-hot cube
-    # is gigabytes at wide H, and take_along_axis lowers to a pathologically
-    # slow gather on this backend.
-    cidx = jnp.zeros(counts.shape[:1] + (H,), jnp.int32)
-    for c in range(C):
-        cidx = cidx + (cum[:, c:c + 1] <= h).astype(jnp.int32)
 
-    def take_rc(x):
-        out = jnp.broadcast_to(x[:, C - 1:C], cidx.shape)
-        for c in range(C - 1):
-            out = jnp.where(cidx == c, x[:, c:c + 1], out)
-        return out
+    def expand(h):
+        """candidate h -> (cell idx, pair pos, window, valid); h [1, W].
+        cidx built by an unrolled loop over the small static C axis — a
+        [R, W, C] one-hot cube is gigabytes at wide W, and take_along_axis
+        lowers to a pathologically slow gather on this backend."""
+        cidx = jnp.zeros((R, h.shape[1]), jnp.int32)
+        for c in range(C):
+            cidx = cidx + (cum[:, c:c + 1] <= h).astype(jnp.int32)
 
-    offset = h - take_rc(excl)
-    pos = take_rc(starts) + offset
-    valid = (h < cum[:, -1:]) & (cidx < C) & (offset < take_rc(counts))
-    pos = jnp.clip(pos, 0, sorted_gauss.shape[0] - 1)
-    gs = sorted_gauss[pos]
-    t_in_h = take_rc(tin)
-    t_out_h = take_rc(tout)
+        def take_rc(x):
+            out = jnp.broadcast_to(x[:, C - 1:C], cidx.shape)
+            for c in range(C - 1):
+                out = jnp.where(cidx == c, x[:, c:c + 1], out)
+            return out
 
-    # candidate geometry gather. Narrow H: plain row gather [R, H, 13]
-    # (fastest; tile padding is tolerable). Wide H (eval configs): the
-    # row layout pads 10x under (8,128) tiling — gigabytes — so gather
-    # transposed [13, R, H] with the candidate axis in lanes instead.
-    if H <= 64:
-        rows_g = geom[gs]                                 # [R, H, 13]
+        offset = h - take_rc(excl)
+        pos = take_rc(starts) + offset
+        valid = (h < cum[:, -1:]) & (cidx < C) & (offset < take_rc(counts))
+        pos = jnp.clip(pos, 0, sorted_gauss.shape[0] - 1)
+        return pos, valid, take_rc(tin), take_rc(tout)
+
+    h1 = jnp.arange(H1, dtype=jnp.int32)[None]            # [1, H1]
+    pos1, valid1, tin1, tout1 = expand(h1)
+    gs1 = sorted_gauss[pos1]
+
+    if two_tier:
+        if prefilt is None:
+            prefilt = _pack_prefilter(geom)
+        # tier 1: cheap conservative screen on the [7, N] table, candidate
+        # axis in lanes (wide widths pad 10x+ under row layout). EXACT plane
+        # intersection + isotropic radius bound: the ray-LINE distance alone
+        # is far too loose for oblique rays (the plane hit lands much
+        # farther than the line-closest point — measured ~30% tier-1 pass
+        # vs ~2% true acceptance on the dense stress scene).
+        c7 = prefilt[:, gs1.reshape(-1)].reshape(7, R, H1)
+        ox, oy, oz = ray_o[:, 0:1], ray_o[:, 1:2], ray_o[:, 2:3]
+        dx, dy, dz = ray_d[:, 0:1], ray_d[:, 1:2], ray_d[:, 2:3]
+        nx, ny, nz = c7[3], c7[4], c7[5]
+        r_b = c7[6]
+        o_g = nx * (ox - c7[0]) + ny * (oy - c7[1]) + nz * (oz - c7[2])
+        d_g = nx * dx + ny * dy + nz * dz
+        d1 = -o_g * d_g / jnp.maximum(1e-6, d_g * d_g)    # same formula as
+        px = ox + d1 * dx - c7[0]                         # _hit_geom_cols
+        py = oy + d1 * dy - c7[1]
+        pz = oz + d1 * dz - c7[2]
+        q2 = px * px + py * py + pz * pz
+        # window test with a small tolerance: tier-2 recomputes d in a
+        # different op order; the slack keeps edge-of-window candidates from
+        # being rejected here while the partition logic assumes tier-2 saw
+        # them (the duplicate in the neighboring cell covers the hit)
+        tol = 1e-4 * (tout1 - tin1)
+        pass1 = (valid1 & (q2 <= r_b * r_b)
+                 & (d1 >= tin1 - tol) & (d1 < tout1 + tol))
+        if t_start is not None:
+            pass1 = pass1 & (d1 > t_start[:, None] - tol)
+        # compact survivors: single-operand sort of enumeration indices
+        key1 = jnp.where(pass1, jnp.broadcast_to(h1, pass1.shape), BIG)
+        key_s = jax.lax.sort(key1, dimension=-1, is_stable=False)
+        h_s = key_s[:, :H2]                               # [R, H2]
+        valid2 = h_s < BIG
+        # examined-candidate count E: everything before the first UNTESTED
+        # survivor was either conclusively tier-1-rejected or exactly tested
+        E = jnp.where(key_s[:, H2] < BIG, key_s[:, H2], H1)
+        pos2, _, t_in_h, t_out_h = expand(jnp.where(valid2, h_s, 0))
+        gs = sorted_gauss[pos2]
+    else:
+        gs, valid2, t_in_h, t_out_h = gs1, valid1, tin1, tout1
+        E = jnp.full((R,), H1, jnp.int32)
+
+    # candidate geometry gather. Narrow width: plain row gather [R, H2, 13]
+    # (fastest; tile padding is tolerable). Wide (single-tier eval configs):
+    # the row layout pads 10x under (8,128) tiling — gigabytes — so gather
+    # transposed [13, R, H2] with the candidate axis in lanes instead.
+    if H2 <= 64:
+        rows_g = geom[gs]                                 # [R, H2, 13]
         cols = jnp.moveaxis(rows_g, -1, 0)
     else:
         geom_t = geom.T                                   # [13, N]
         cols = geom_t[:, gs.reshape(-1)].reshape(13, *gs.shape)
     alpha, d, d_dot_n = _hit_geom_cols(cols, ray_o, ray_d)
-    accept = (valid & (alpha >= cfg.alpha_min)
+    accept = (valid2 & (alpha >= cfg.alpha_min)
               & (d >= jnp.maximum(t_in_h, 1e-6)) & (d < t_out_h))
     if t_start is not None:
         accept = accept & (d > t_start[:, None])
@@ -768,37 +862,37 @@ def select_hits(ray_o, ray_d, sorted_gauss, cells: Cells, geom,
         num_keys=1, dimension=-1, is_stable=False)
     # k-buffer: keep only the nearest hit_budget accepted hits (rejected
     # candidates sorted to the end); T saturates within ~16 hits anyway
-    kb = min(cfg.hit_budget, H)
+    kb = min(cfg.hit_budget, H2)
     valid_kb = acc_s[:, :kb] > 0
     # re-trace metadata: restart points + was anything dropped?
     n_accepted = jnp.sum(accept, axis=-1)
     t_last = jnp.max(jnp.where(valid_kb, d_s[:, :kb], 0.0), axis=-1)
     more = ((n_accepted > kb)
-            | (cum[:, -1] > H)      # candidate expansion truncated
+            | (cum[:, -1] > E)      # candidate examination truncated
             | cells.truncated)      # recorded-cell list truncated
     # collection frontier: the exit t of the last cell whose candidates all
-    # fit within the H-cap — those cells are fully examined and the next
-    # segment can skip them. When the k-buffer overflowed, dropped accepted
-    # hits may live inside examined cells, so the frontier must stay at
-    # t_last (their windows still overlap it).
-    fully_examined = (cum <= H) & (counts > 0)
+    # fit within the per-ray examined width E — those cells are fully
+    # examined and the next segment can skip them. When the k-buffer
+    # overflowed, dropped accepted hits may live inside examined cells, so
+    # the frontier must stay at t_last (their windows still overlap it).
+    fully_examined = (cum <= E[:, None]) & (counts > 0)
     tout_frontier = jnp.max(jnp.where(fully_examined, tout, 0.0), axis=-1)
     # when every recorded candidate was examined, the resume point may jump
     # to the traversal horizon (covers crossing-budget truncation with few
     # or zero recorded cells)
-    all_examined = cum[:, -1] <= H
+    all_examined = cum[:, -1] <= E
     frontier = jnp.where(all_examined,
                          jnp.maximum(tout_frontier, cells.resume),
                          tout_frontier)
     overflowed = n_accepted > kb
     t_cell = jnp.where(overflowed, t_last, jnp.maximum(t_last, frontier))
     # candidates of the partially-examined cell at the frontier already
-    # consumed: H minus the candidates of the fully-examined cells. In
+    # consumed: E minus the candidates of the fully-examined cells. In
     # overflow mode the re-trace must re-visit examined cells (dropped
     # accepted hits live there), so nothing is skipped.
     n_before = jnp.max(jnp.where(fully_examined, cum, 0), axis=-1)
     skip_next = jnp.where(overflowed | all_examined, 0,
-                          jnp.maximum(H - n_before, 0))
+                          jnp.maximum(E - n_before, 0))
     # ... and only valid while the frontier cell is first in the re-collect,
     # i.e. when no accepted hit moved t_cell past the frontier
     skip_next = jnp.where(t_cell > frontier, 0, skip_next)

@@ -248,7 +248,8 @@ def make_trace_fn(params, aux, grid, tracer_cfg: gt.TracerConfig,
             # scales inversely with the candidate width (the training ray
             # budget runs in ONE call at the default width; wide-candidate
             # eval configs and the 10^6-ray eval path chunk)
-            target = max(2 ** 12, (2 ** 18 * 48) // max(tracer_cfg.max_hits, 48))
+            sel_width = max(tracer_cfg.prefilter_width, tracer_cfg.max_hits)
+            target = max(2 ** 12, (2 ** 18 * 48) // max(sel_width, 48))
             if target >= ray_chunk:
                 k = min(n_chunks, max(1, target // ray_chunk))
                 while n_chunks % k:

@@ -313,3 +313,55 @@ def test_trace_reference_coplanar_tie_order():
     base = np.maximum(np.asarray(inputs.shs)[:, 0, :] * 0.282095 + 0.5, 0.0)
     np.testing.assert_allclose(np.asarray(out.color[0]), w @ base, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(out.alpha[0]), w.sum(), rtol=1e-5)
+
+
+def test_two_tier_prefilter_matches_brute_force(setup):
+    """Two-tier select (wide cheap screen -> narrow exact slots) must stay
+    oracle-exact: the tier-1 ray-line-distance test is conservative (a
+    rejected candidate provably has alpha < alpha_min), and with segments
+    the re-trace resumes exactly where the examined width E ended."""
+    inputs, alive, grid, rays_o, rays_d = setup
+    cfg2 = gt.TracerConfig(
+        grid_res=16, pair_capacity=2 ** 15, max_cells=48, span_cap=8,
+        prefilter_width=192, max_hits=32, hit_budget=32,
+        n_segments=6, retrace_frac=1.0)
+    out = gt.trace_segments(rays_o, rays_d, grid, inputs,
+                            cfg=cfg2, sh_deg=3)
+    ref = gt.trace_reference(rays_o, rays_d, inputs, alive, sh_deg=3,
+                             transmittance_min=cfg2.transmittance_min)
+    np.testing.assert_allclose(out.alpha, ref.alpha, atol=3e-5)
+    np.testing.assert_allclose(out.color, ref.color, atol=3e-5)
+    np.testing.assert_allclose(out.feature, ref.feature, atol=3e-5)
+
+
+def test_two_tier_gradients_match_oracle(setup):
+    """Gradients through the two-tier path (fixed replayed hit list) must
+    match the brute-force oracle's."""
+    inputs, alive, grid, rays_o, rays_d = setup
+    cfg2 = gt.TracerConfig(
+        grid_res=16, pair_capacity=2 ** 15, max_cells=48, span_cap=8,
+        prefilter_width=192, max_hits=48, hit_budget=48,
+        n_segments=4, retrace_frac=1.0)
+
+    def loss(ins, ro, rd, fn):
+        out = fn(ro, rd, ins)
+        return (jnp.sum(out.color ** 2) + jnp.sum(out.alpha)
+                + 0.1 * jnp.sum(out.feature))
+
+    g1 = jax.grad(loss, argnums=(0, 1, 2))(
+        inputs, rays_o, rays_d,
+        lambda ro, rd, ins: gt.trace_segments(ro, rd, grid, ins, cfg=cfg2,
+                                              sh_deg=3))
+    g2 = jax.grad(loss, argnums=(0, 1, 2))(
+        inputs, rays_o, rays_d,
+        lambda ro, rd, ins: gt.trace_reference(
+            ro, rd, ins, alive, sh_deg=3,
+            transmittance_min=cfg2.transmittance_min))
+    for a, b, name in [(g1[0].means3d, g2[0].means3d, "means"),
+                       (g1[0].opacity, g2[0].opacity, "opacity"),
+                       (g1[0].shs, g2[0].shs, "shs"),
+                       (g1[1], g2[1], "ray_o"), (g1[2], g2[2], "ray_d")]:
+        scale = max(float(jnp.abs(b).max()), 1e-3)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   atol=2e-4, err_msg=name)

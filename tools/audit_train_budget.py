@@ -9,8 +9,9 @@ regime). Prints the |dcolor|/|dalpha| rows for BASELINE.md.
 
 Run solo on the TPU:  python tools/audit_train_budget.py
 """
+import dataclasses
+import os
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -46,37 +47,65 @@ inputs = gt.TraceInputs(
     shs=params.get_features(), features=jnp.zeros((2 ** 17, 0)))
 
 
-@jax.jit
-def oracle_chunk(a, b):
-    out = gt.trace_reference(a, b, inputs, aux.alive, sh_deg=3)
-    return gt.normalize_trace(out, 0.03)
+CACHE = "/tmp/audit_oracle.npz"
+if os.path.exists(CACHE):
+    z = np.load(CACHE)
+    ref = gt.TraceOut(*[jnp.asarray(z[f]) for f in gt.TraceOut._fields])
+    print("oracle loaded from cache", flush=True)
+else:
+    @jax.jit
+    def oracle_chunk(a, b):
+        out = gt.trace_reference(a, b, inputs, aux.alive, sh_deg=3)
+        return gt.normalize_trace(out, 0.03)
 
-
-outs = []
-for c in range(0, N_RAYS, ORACLE_CHUNK):
-    o = oracle_chunk(ro[c:c + ORACLE_CHUNK], rd[c:c + ORACLE_CHUNK])
-    jax.block_until_ready(o.alpha)
-    outs.append(o)
-ref = gt.TraceOut(*[jnp.concatenate([getattr(o, f) for o in outs])
-                    for f in gt.TraceOut._fields])
-print("oracle done", flush=True)
+    outs = []
+    for c in range(0, N_RAYS, ORACLE_CHUNK):
+        o = oracle_chunk(ro[c:c + ORACLE_CHUNK], rd[c:c + ORACLE_CHUNK])
+        jax.block_until_ready(o.alpha)
+        outs.append(o)
+    ref = gt.TraceOut(*[jnp.concatenate([getattr(o, f) for o in outs])
+                        for f in gt.TraceOut._fields])
+    np.savez(CACHE, **{f: np.asarray(getattr(ref, f))
+                       for f in gt.TraceOut._fields})
+    print("oracle done", flush=True)
 
 cfg = Config()
-rows = []
-for name, tc in (
-        ("shipping TRAIN config", gt.TracerConfig.from_pipe(cfg.pipe)),
-        ("shipping EVAL config", gt.TracerConfig.from_pipe(cfg.pipe, eval=True)),
-):
+train_tc = gt.TracerConfig.from_pipe(cfg.pipe)
+eval_tc = gt.TracerConfig.from_pipe(cfg.pipe, eval=True)
+variants = [
+    ("shipping TRAIN config", train_tc),
+    ("shipping EVAL config", eval_tc),
+]
+# tuning ladder: what closes the bias, and what it costs (pair with a
+# bench.py run at the same budgets for the iter/s price)
+variants += [
+    ("train +prefilter256", dataclasses.replace(
+        train_tc, prefilter_width=256)),
+    ("train +prefilter256 seg2/f0.25", dataclasses.replace(
+        train_tc, prefilter_width=256, retrace_frac=0.25)),
+    ("train +prefilter512 seg3/f0.25", dataclasses.replace(
+        train_tc, prefilter_width=512, n_segments=3, retrace_frac=0.25)),
+    ("eval +prefilter256/r1024", dataclasses.replace(
+        eval_tc, prefilter_width=256, retrace_prefilter_width=1024)),
+    ("eval +prefilter512/r2048 seg8", dataclasses.replace(
+        eval_tc, prefilter_width=512, retrace_prefilter_width=2048,
+        n_segments=8)),
+]
+for name, tc in variants:
     grid = gt.build_grid_from_gaussians(params, aux, tc)
     tf = ir.make_trace_fn(params, aux, grid, tc, jnp.zeros(3), 3)
     f = jax.jit(lambda a, b: tf(a, b))
     out = f(ro, rd)
     jax.block_until_ready(out.alpha)
+    d = jnp.abs(out.color - ref.color).max(-1)          # per-ray max-channel
+    da_r = jnp.abs(out.alpha - ref.alpha)
     dc = float(jnp.abs(out.color - ref.color).mean())
-    da = float(jnp.abs(out.alpha - ref.alpha).mean())
-    dcm = float(jnp.abs(out.color - ref.color).max())
+    da = float(da_r.mean())
+    q = np.percentile(np.asarray(d), [50, 90, 99])
+    bad = float((d > 0.05).mean())
     print(f"{name} ({tc.max_cells}c,{tc.max_hits}h,{tc.hit_budget}kb,"
           f"{tc.max_crossings}cr,seg{tc.n_segments}/f{tc.retrace_frac}"
           f"d{tc.retrace_decay}): mean|dcolor|={dc:.5f} "
-          f"mean|dalpha|={da:.5f} max|dcolor|={dcm:.4f}", flush=True)
-    rows.append((name, dc, da))
+          f"mean|dalpha|={da:.5f} dcolor p50/p90/p99="
+          f"{q[0]:.4f}/{q[1]:.4f}/{q[2]:.4f} frac(>0.05)={bad:.3f}",
+          flush=True)
