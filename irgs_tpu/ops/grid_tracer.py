@@ -801,7 +801,11 @@ def select_hits(ray_o, ray_d, sorted_gauss, cells: Cells, geom,
         # is far too loose for oblique rays (the plane hit lands much
         # farther than the line-closest point — measured ~30% tier-1 pass
         # vs ~2% true acceptance on the dense stress scene).
-        c7 = prefilt[:, gs1.reshape(-1)].reshape(7, R, H1)
+        # per-component flat 1-D gathers: a fused [7, M] gather materializes
+        # index-major [M, 7] and tile-pads 7 -> 128 lanes (25 GB at eval
+        # widths); seven [M] gathers reshape to [R, H1] with H1 in lanes
+        flat = gs1.reshape(-1)
+        c7 = [prefilt[i][flat].reshape(R, H1) for i in range(7)]
         ox, oy, oz = ray_o[:, 0:1], ray_o[:, 1:2], ray_o[:, 2:3]
         dx, dy, dz = ray_d[:, 0:1], ray_d[:, 1:2], ray_d[:, 2:3]
         nx, ny, nz = c7[3], c7[4], c7[5]
