@@ -80,6 +80,20 @@ class TracerConfig:
                                    # per ray (0 -> grid_res, exact; ~2/3 of
                                    # grid_res is a safe practical cap)
     span_cap: int = 6              # max cells per axis per gaussian
+    # TILED select (select_tiles > 0): candidates examined in `tile`-wide
+    # CONTIGUOUS blocks of the pair-ordered candidate table — one gather row
+    # per `tile` candidates instead of one per candidate (per-row gather
+    # latency is the eval-path wall on this backend). Dedup is exact via
+    # hit-cell == pair-cell (a hit's cell always contains its gaussian's
+    # pair), replacing the per-candidate window tests. Overrides the
+    # prefilter/per-candidate path when set.
+    select_tiles: int = 0          # TILE-wide blocks examined per segment
+    tile: int = 16                 # candidates per block: the table row is
+                                   # 14·tile floats (224 -> 256 lanes, 1.14x
+                                   # pad); smaller tiles waste less on
+                                   # sparse cells, larger ones cut gather
+                                   # rows per ray
+    retrace_select_tiles: int = 0  # re-trace rounds (0 = inherit)
     # coarse-occupancy DDA (empty-space skip + completeness check). Costs
     # ~40% of a narrow collect; it is what makes the eval re-trace loop
     # demand-proportional (escaping rays stop being flagged truncated).
@@ -135,6 +149,7 @@ class TracerConfig:
             max_hits=self.retrace_max_hits or self.max_hits,
             prefilter_width=(self.retrace_prefilter_width
                              or self.prefilter_width),
+            select_tiles=self.retrace_select_tiles or self.select_tiles,
             hit_budget=self.retrace_hit_budget or self.hit_budget,
             max_crossings=(self.max_crossings if self.retrace_max_crossings < 0
                            else self.retrace_max_crossings))
@@ -200,7 +215,12 @@ def unpack_cell_meta(meta):
 
 
 class Grid(NamedTuple):
-    sorted_gauss: jnp.ndarray    # [P] int32 gaussian id per (cell, gaussian) pair
+    sorted_gauss: jnp.ndarray    # [P] int32 gaussian id per (cell, gaussian)
+                                 # pair, cell-major with gaussian-ID order
+                                 # INSIDE each cell (the oracle's stable
+                                 # depth-tie order rides on this)
+    sorted_cell: jnp.ndarray     # [P] int32 cell id per pair (hit-cell
+                                 # dedup in the tiled select)
     cell_meta: jnp.ndarray       # [G^3] int32 packed (start, count)
     bb_min: jnp.ndarray          # [3]
     inv_cell: jnp.ndarray        # [3]
@@ -380,7 +400,10 @@ def build_grid(means3d, radius, alive, *, grid_res: int, pair_capacity: int,
     cell_id = (cz * g + cy) * g + cx
     cell_id = jnp.where(slots < total, cell_id, g * g * g)
 
-    sorted_cell, sorted_gauss = jax.lax.sort((cell_id, gi), num_keys=1)
+    # two keys: pairs cell-major AND gaussian-id-ordered within a cell —
+    # coplanar splats covering one hit point live in that point's cell, so
+    # pair order there = id order = the oracle's stable depth-tie order
+    sorted_cell, sorted_gauss = jax.lax.sort((cell_id, gi), num_keys=2)
     per_cell = counts_by_id(cell_id, g * g * g)
     start = jnp.cumsum(per_cell) - per_cell
 
@@ -393,7 +416,7 @@ def build_grid(means3d, radius, alive, *, grid_res: int, pair_capacity: int,
     occ = jnp.pad(occ, ((0, pad),) * 3)
     occ = occ.reshape(gc, COARSE_FACTOR, gc, COARSE_FACTOR, gc, COARSE_FACTOR)
     occ = jnp.any(occ, axis=(1, 3, 5))                     # [gc, gc, gc]
-    return Grid(sorted_gauss=sorted_gauss,
+    return Grid(sorted_gauss=sorted_gauss, sorted_cell=sorted_cell,
                 cell_meta=pack_cell_meta(start, per_cell),
                 bb_min=bb_min, inv_cell=inv_cell, cell_size=cell,
                 overflow=jnp.maximum(total - pair_capacity, 0),
@@ -724,9 +747,167 @@ def _pack_prefilter(geom):
                            axis=0)
 
 
+def pack_pair_table(grid: Grid, inputs: TraceInputs, tile: int = 16):
+    """Pair-ordered tile-row candidate table (see _pair_tab_from_geom):
+    13 geometry components (mean3 | opacity | ru3 | rv3 | normal3) gathered
+    into PAIR order plus the pair's cell id (bitcast). Built once per
+    (grid, params) — the tiled select then reads candidates as whole
+    tile rows, never by per-candidate random access."""
+    return _pair_tab_from_geom(grid, _pack_geom(inputs), tile)
+
+
+def _pair_tab_from_geom(grid: Grid, geom, tile: int = 16):
+    """[ceil(P/tile), 14·tile] TILE-ROW candidate table: tile t's row holds
+    the 14 components (13 geometry + bitcast cell id) of pairs
+    [t·tile, (t+1)·tile), component-major. The tiled select gathers whole
+    rows — the one gather shape this backend runs at full rate (per-row
+    latency ~6 ns); lane-dim dynamic slices measured 1.4 µs each."""
+    sg = grid.sorted_gauss
+    rows = [geom[:, i][sg] for i in range(13)]
+    rows.append(jax.lax.bitcast_convert_type(grid.sorted_cell, jnp.float32))
+    tab = jnp.stack(rows, axis=0)                          # [14, P]
+    P = tab.shape[1]
+    pad = (-P) % tile
+    tab = jnp.pad(tab, ((0, 0), (0, pad)))
+    T = (P + pad) // tile
+    return tab.reshape(14, T, tile).transpose(1, 0, 2).reshape(T, 14 * tile)
+
+
+def select_hits_tiled(ray_o, ray_d, grid: Grid, cells: Cells, pair_tab,
+                      cfg: TracerConfig, back_culling: bool,
+                      t_start=None, cand_skip=None) -> SelectedHits:
+    """Tiled hit selection: examine candidates in `cfg.tile`-wide contiguous
+    blocks of the pair table (cfg.select_tiles blocks per ray), exact hit
+    math on all lanes, dedup by hit-cell == pair-cell, then one
+    (depth, pair-pos) two-key sort keeps the nearest hit_budget hits with
+    the oracle's stable tie order (pair pos is gaussian-id-ordered within a
+    cell). ≙ the OptiX anyhit k-buffer (gaussiantrace_forward.cu:120-141)
+    with the BVH's "only true intersections" property traded for cheap
+    dense lane tests on contiguous memory.
+
+    `cand_skip` counts TILES of the first recorded cell already examined by
+    the previous segment (tile-unit analog of select_hits' candidate skip).
+    """
+    TILE = cfg.tile
+    ST = cfg.select_tiles
+    S1 = ST * TILE
+    R, C = cells.starts.shape
+    P = grid.sorted_gauss.shape[0]
+    kb = cfg.hit_budget
+    g = cfg.grid_res
+
+    starts, counts, tout = cells.starts, cells.counts, cells.tout
+    if cand_skip is not None:
+        # skip whole ALIGNED tiles of the first cell (examined last segment);
+        # the residue start % TILE is unchanged, so tile chaining is exact
+        skip0 = jnp.minimum(
+            cand_skip,
+            (starts[:, 0] % TILE + counts[:, 0] + TILE - 1) // TILE)
+        adv = jnp.minimum(skip0 * TILE - starts[:, 0] % TILE * (skip0 > 0),
+                          counts[:, 0])
+        adv = jnp.maximum(adv, 0)
+        starts = starts.at[:, 0].add(adv)
+        counts = counts.at[:, 0].add(-adv)
+
+    # ALIGNED tile cover of each cell's pair range [start, start+count):
+    # first tile = start//TILE, lanes outside the range masked per element —
+    # no padded table, no scatter, and every gathered row is tile-aligned
+    tcnt = jnp.where(counts > 0,
+                     (starts % TILE + counts + TILE - 1) // TILE, 0)
+    cumT = jnp.cumsum(tcnt, axis=-1)                      # [R, C]
+    exclT = cumT - tcnt
+    s = jnp.arange(ST, dtype=jnp.int32)[None]             # [1, ST]
+    cidx = jnp.zeros((R, ST), jnp.int32)
+    for c in range(C):
+        cidx = cidx + (cumT[:, c:c + 1] <= s).astype(jnp.int32)
+
+    def take_rc(x):
+        out = jnp.broadcast_to(x[:, C - 1:C], cidx.shape)
+        for c in range(C - 1):
+            out = jnp.where(cidx == c, x[:, c:c + 1], out)
+        return out
+
+    tt = s - take_rc(exclT)                               # tile within cell
+    start_c = take_rc(starts)
+    count_c = take_rc(counts)
+    row_idx = start_c // TILE + tt                        # [R, ST] table row
+    tile_valid = (s < cumT[:, -1:]) & (cidx < C)
+    n_rows = pair_tab.shape[0]
+    row_idx = jnp.where(tile_valid, jnp.minimum(row_idx, n_rows - 1), 0)
+
+    # ONE row gather: [R, ST] tile rows of 14·TILE floats
+    rows = pair_tab[row_idx]                              # [R, ST, 14*TILE]
+    blocks = rows.reshape(R, ST, 14, TILE)
+    cols = [blocks[:, :, i, :].reshape(R, S1) for i in range(13)]
+    pair_cid = jax.lax.bitcast_convert_type(
+        blocks[:, :, 13, :], jnp.int32).reshape(R, S1)
+    lane = jnp.arange(TILE, dtype=jnp.int32)[None, None]  # [1, 1, TILE]
+    pos3 = row_idx[:, :, None] * TILE + lane              # global pair pos
+    lane_valid = (tile_valid[:, :, None]
+                  & (pos3 >= start_c[:, :, None])
+                  & (pos3 < (start_c + count_c)[:, :, None])).reshape(R, S1)
+
+    alpha, d, d_g = _hit_geom_cols(cols, ray_o, ray_d)
+    # hit-cell dedup: the hit point's cell always contains the gaussian's
+    # pair (insertion is radius-dilated), so each true hit is accepted from
+    # EXACTLY one pair — no per-candidate window tests, no tolerance
+    hx = jnp.clip(jnp.floor((ray_o[:, 0:1] + d * ray_d[:, 0:1]
+                             - grid.bb_min[0]) * grid.inv_cell[0]
+                            ).astype(jnp.int32), 0, g - 1)
+    hy = jnp.clip(jnp.floor((ray_o[:, 1:2] + d * ray_d[:, 1:2]
+                             - grid.bb_min[1]) * grid.inv_cell[1]
+                            ).astype(jnp.int32), 0, g - 1)
+    hz = jnp.clip(jnp.floor((ray_o[:, 2:3] + d * ray_d[:, 2:3]
+                             - grid.bb_min[2]) * grid.inv_cell[2]
+                            ).astype(jnp.int32), 0, g - 1)
+    hcid = (hz * g + hy) * g + hx
+    accept = (lane_valid & (alpha >= cfg.alpha_min) & (d > 1e-6)
+              & (hcid == pair_cid))
+    if t_start is not None:
+        accept = accept & (d > t_start[:, None])
+    # traversal-incomplete horizon: hits past the resume point belong to the
+    # NEXT segment (its restarted DDA re-records their cells), else a
+    # re-trace with t_start at the horizon would re-blend them
+    accept = accept & (d < jnp.where(cells.resume > 0, cells.resume,
+                                     INF)[:, None])
+    if back_culling:
+        accept = accept & (d_g < 0)
+
+    pair_pos = pos3.reshape(R, S1)
+    d_key = jnp.where(accept, d, INF)
+    d_s, pos_s = jax.lax.sort((d_key, pair_pos), num_keys=2, dimension=-1,
+                              is_stable=False)
+    valid_kb = d_s[:, :kb] < INF
+    gs_kb = grid.sorted_gauss[jnp.clip(pos_s[:, :kb], 0, P - 1)]
+    n_accepted = jnp.sum(accept, axis=-1)
+    t_last = jnp.max(jnp.where(valid_kb, d_s[:, :kb], 0.0), axis=-1)
+
+    # re-trace bookkeeping, in TILE units (cells are examined tile-atomically)
+    more = ((n_accepted > kb)
+            | (cumT[:, -1] > ST)
+            | cells.truncated)
+    fully = (cumT <= ST) & (counts > 0)
+    tout_frontier = jnp.max(jnp.where(fully, tout, 0.0), axis=-1)
+    all_ex = cumT[:, -1] <= ST
+    frontier = jnp.where(all_ex,
+                         jnp.maximum(tout_frontier, cells.resume),
+                         tout_frontier)
+    overflowed = n_accepted > kb
+    t_cell = jnp.where(overflowed, t_last, jnp.maximum(t_last, frontier))
+    nT_before = jnp.max(jnp.where(fully, cumT, 0), axis=-1)
+    skip_next = jnp.where(overflowed | all_ex, 0,
+                          jnp.maximum(ST - nT_before, 0))
+    skip_next = jnp.where(t_cell > frontier, 0, skip_next)
+    if cand_skip is not None:
+        same_cell = ~overflowed & ~all_ex & (nT_before == 0)
+        skip_next = skip_next + jnp.where(same_cell, skip0, 0)
+    return SelectedHits(gs_kb, valid_kb, t_last, t_cell, more, skip_next)
+
+
 def select_hits(ray_o, ray_d, sorted_gauss, cells: Cells, geom,
                 cfg: TracerConfig, back_culling: bool,
-                t_start=None, cand_skip=None, prefilt=None) -> SelectedHits:
+                t_start=None, cand_skip=None, prefilt=None,
+                grid=None, pair_tab=None) -> SelectedHits:
     """Index-only hit selection: expand recorded cells into candidates,
     evaluate acceptance, depth-sort, keep the nearest `hit_budget` hits.
 
@@ -750,8 +931,15 @@ def select_hits(ray_o, ray_d, sorted_gauss, cells: Cells, geom,
 
     `t_start` [R]: only accept hits strictly past it (re-trace restart).
     `cand_skip` [R]: skip that many candidates of the FIRST recorded cell
-    (they were examined by the previous segment).
+    (they were examined by the previous segment; TILES in tiled mode).
     """
+    if cfg.select_tiles > 0:
+        assert grid is not None, "tiled select needs the grid"
+        if pair_tab is None:
+            pair_tab = _pair_tab_from_geom(grid, geom, cfg.tile)
+        return select_hits_tiled(ray_o, ray_d, grid, cells, pair_tab, cfg,
+                                 back_culling, t_start=t_start,
+                                 cand_skip=cand_skip)
     starts, counts, tin, tout = (cells.starts, cells.counts,
                                  cells.tin, cells.tout)
     if cand_skip is not None:
@@ -980,7 +1168,7 @@ def trace(ray_o, ray_d, grid: Grid, inputs: TraceInputs, *, cfg: TracerConfig,
             cells = collect_cells(ro, rd, grid, cfg)
         geom = jax.lax.stop_gradient(_pack_geom(inputs))
         hits = select_hits(ro, rd, grid.sorted_gauss, cells, geom, cfg,
-                           back_culling)
+                           back_culling, grid=grid)
     return blend_hits(ray_o, ray_d, inputs, hits.gs, hits.valid, cfg, sh_deg)
 
 
@@ -1032,16 +1220,21 @@ def _retrace_body(out, hits, need, ray_o, ray_d, grid, inputs, cfg, sh_deg,
     t_accept = hits.t_last[idx] * (1.0 + 1e-5) + 1e-6
     t_collect = jnp.maximum(hits.t_cell[idx], 0.0)
     geom = jax.lax.stop_gradient(_pack_geom(inputs))
+    pair_tab = (_pair_tab_from_geom(grid, geom, cfg.tile)
+                if cfg.select_tiles > 0 else None)
 
     def sel(ro_i, rd_i, t_c, t_a, skip_i):
         cells2 = collect_cells(ro_i, rd_i, grid, cfg, t_start=t_c)
         return select_hits(ro_i, rd_i, grid.sorted_gauss, cells2, geom, cfg,
-                           back_culling, t_start=t_a, cand_skip=skip_i)
+                           back_culling, t_start=t_a, cand_skip=skip_i,
+                           grid=grid, pair_tab=pair_tab)
 
     # bound the [rays, max_hits] candidate working set like make_trace_fn's
     # select chunking (wide-candidate configs would otherwise allocate
     # gigabytes here)
-    chunk_cap = max(2 ** 12, (2 ** 18 * 48) // max(cfg.max_hits, 48))
+    sel_w = max(cfg.select_tiles * cfg.tile, cfg.prefilter_width,
+                cfg.max_hits)
+    chunk_cap = max(2 ** 12, (2 ** 18 * 48) // max(sel_w, 48))
     args = (ro[idx], rd[idx], t_collect, t_accept, hits.cand_skip[idx])
     if capacity > chunk_cap:
         n_g = -(-capacity // chunk_cap)
@@ -1166,7 +1359,7 @@ def trace_segments(ray_o, ray_d, grid: Grid, inputs: TraceInputs, *,
     cells = collect_cells(ro, rd, grid, cfg)
     geom = jax.lax.stop_gradient(_pack_geom(inputs))
     hits = select_hits(ro, rd, grid.sorted_gauss, cells, geom, cfg,
-                       back_culling)
+                       back_culling, grid=grid)
     out = blend_hits(ray_o, ray_d, inputs, hits.gs, hits.valid, cfg, sh_deg)
     out, hits = retrace_rounds(out, hits, ray_o, ray_d, grid, inputs, cfg,
                                sh_deg, back_culling)

@@ -248,7 +248,8 @@ def make_trace_fn(params, aux, grid, tracer_cfg: gt.TracerConfig,
             # scales inversely with the candidate width (the training ray
             # budget runs in ONE call at the default width; wide-candidate
             # eval configs and the 10^6-ray eval path chunk)
-            sel_width = max(tracer_cfg.prefilter_width, tracer_cfg.max_hits)
+            sel_width = max(tracer_cfg.select_tiles * tracer_cfg.tile,
+                            tracer_cfg.prefilter_width, tracer_cfg.max_hits)
             target = max(2 ** 12, (2 ** 18 * 48) // max(sel_width, 48))
             if target >= ray_chunk:
                 k = min(n_chunks, max(1, target // ray_chunk))
@@ -262,10 +263,14 @@ def make_trace_fn(params, aux, grid, tracer_cfg: gt.TracerConfig,
                     sel_rays //= 2
             n_sel = rop.shape[0] // sel_rays
 
+            pair_tab = (gt._pair_tab_from_geom(grid, geom, tracer_cfg.tile)
+                        if tracer_cfg.select_tiles > 0 else None)
+
             def collect_select(a, b):
                 cl = gt.collect_cells(a, b, grid, tracer_cfg)
                 return gt.select_hits(a, b, grid.sorted_gauss, cl, geom,
-                                      tracer_cfg, False)
+                                      tracer_cfg, False, grid=grid,
+                                      pair_tab=pair_tab)
 
             if n_sel == 1:
                 hits = collect_select(ro_sg, rd_sg)

@@ -365,3 +365,52 @@ def test_two_tier_gradients_match_oracle(setup):
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b) / scale,
                                    atol=2e-4, err_msg=name)
+
+
+def test_tiled_select_matches_brute_force(setup):
+    """Tiled select (contiguous tile-block gathers + hit-cell dedup) must
+    stay oracle-exact through the segmented re-trace."""
+    inputs, alive, grid, rays_o, rays_d = setup
+    cfgt = gt.TracerConfig(
+        grid_res=16, pair_capacity=2 ** 15, max_cells=48, span_cap=8,
+        select_tiles=8, tile=64, hit_budget=32,
+        n_segments=8, retrace_frac=1.0)
+    out = gt.trace_segments(rays_o, rays_d, grid, inputs,
+                            cfg=cfgt, sh_deg=3)
+    ref = gt.trace_reference(rays_o, rays_d, inputs, alive, sh_deg=3,
+                             transmittance_min=cfgt.transmittance_min)
+    np.testing.assert_allclose(out.alpha, ref.alpha, atol=3e-5)
+    np.testing.assert_allclose(out.color, ref.color, atol=3e-5)
+    np.testing.assert_allclose(out.feature, ref.feature, atol=3e-5)
+    np.testing.assert_allclose(out.normal, ref.normal, atol=3e-5)
+
+
+def test_tiled_select_gradients_match_oracle(setup):
+    inputs, alive, grid, rays_o, rays_d = setup
+    cfgt = gt.TracerConfig(
+        grid_res=16, pair_capacity=2 ** 15, max_cells=48, span_cap=8,
+        select_tiles=8, tile=64, hit_budget=48,
+        n_segments=8, retrace_frac=1.0)
+
+    def loss(ins, ro, rd, fn):
+        out = fn(ro, rd, ins)
+        return (jnp.sum(out.color ** 2) + jnp.sum(out.alpha)
+                + 0.1 * jnp.sum(out.feature))
+
+    g1 = jax.grad(loss, argnums=(0, 1, 2))(
+        inputs, rays_o, rays_d,
+        lambda ro, rd, ins: gt.trace_segments(ro, rd, grid, ins, cfg=cfgt,
+                                              sh_deg=3))
+    g2 = jax.grad(loss, argnums=(0, 1, 2))(
+        inputs, rays_o, rays_d,
+        lambda ro, rd, ins: gt.trace_reference(
+            ro, rd, ins, alive, sh_deg=3,
+            transmittance_min=cfgt.transmittance_min))
+    for a, b, name in [(g1[0].means3d, g2[0].means3d, "means"),
+                       (g1[0].opacity, g2[0].opacity, "opacity"),
+                       (g1[0].shs, g2[0].shs, "shs"),
+                       (g1[1], g2[1], "ray_o"), (g1[2], g2[2], "ray_d")]:
+        scale = max(float(jnp.abs(b).max()), 1e-3)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   atol=2e-4, err_msg=name)

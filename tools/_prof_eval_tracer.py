@@ -118,3 +118,46 @@ for name, tc in (("eval", tc_eval), ("train", tc_train)):
 
     bench_chain(step_full, (roL, jnp.float32(0)), n=3,
                 tag=f"[{name}] FULL trace_fn", rays=R2)
+
+# tiled-select configs (round 3): contiguous tile-block gathers
+import dataclasses
+tc_eval_tiled = dataclasses.replace(
+    tc_eval, select_tiles=32, tile=16, retrace_select_tiles=128,
+    max_cells=12, n_segments=6, retrace_frac=0.5, retrace_decay=0.5,
+    retrace_max_cells=24, max_crossings=24, retrace_max_crossings=0)
+tc_train_tiled = dataclasses.replace(
+    tc_train, select_tiles=32, tile=16, n_segments=3, retrace_frac=0.25)
+
+for name, tc in (("eval_tiled", tc_eval_tiled), ("train_tiled", tc_train_tiled)):
+    fn = ir.make_trace_fn(params, aux, grid, tc, jnp.zeros(3), 3)
+
+    @jax.jit
+    def step_full(st, fn=fn):
+        ro, _ = st
+        out = fn(ro, rdL)
+        sig = jnp.sum(out.alpha) * 1e-6
+        return perturb(ro, sig), sig
+
+    bench_chain(step_full, (roL, jnp.float32(0)), n=3,
+                tag=f"[{name}] FULL trace_fn", rays=R2)
+
+# head-to-head: select architectures at equal candidate coverage (512)
+tc_train_pf = dataclasses.replace(
+    tc_train, prefilter_width=512, n_segments=3, retrace_frac=0.25)
+tc_eval_tiled2 = dataclasses.replace(
+    tc_eval, select_tiles=48, tile=16, retrace_select_tiles=96,
+    max_cells=16, n_segments=4, retrace_frac=0.5, retrace_decay=0.5,
+    retrace_max_cells=24, max_crossings=24, retrace_max_crossings=32)
+for name, tc in (("train_pf512", tc_train_pf),
+                 ("eval_tiled2", tc_eval_tiled2)):
+    fn = ir.make_trace_fn(params, aux, grid, tc, jnp.zeros(3), 3)
+
+    @jax.jit
+    def step_full(st, fn=fn):
+        ro, _ = st
+        out = fn(ro, rdL)
+        sig = jnp.sum(out.alpha) * 1e-6
+        return perturb(ro, sig), sig
+
+    bench_chain(step_full, (roL, jnp.float32(0)), n=3,
+                tag=f"[{name}] FULL trace_fn", rays=R2)
