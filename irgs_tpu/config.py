@@ -63,15 +63,17 @@ class PipelineConfig:
     tracer_grid_res: int = 48
     tracer_max_cells: int = 12
     tracer_max_hits: int = 40
-    # tier-1 cheap-screen width (0 = off): candidates enumerated and screened
-    # by a conservative ray-line-distance test before compaction into the
-    # max_hits exact slots (ops/grid_tracer.py select_hits two-tier mode).
-    # Decouples per-segment progress from the exact-test width in
-    # candidate-rich low-acceptance cells (~2% accept on dense scenes).
-    # Tuned on the dense stress scene vs the exact oracle
-    # (tools/audit_train_budget.py): 512 + seg3/f0.25 drops training-path
-    # mean|dcolor| 0.168 -> 0.012 (BASELINE.md round 3).
-    tracer_prefilter_width: int = 512
+    # TILED select (ops/grid_tracer.py select_hits_tiled): candidates
+    # examined in tile-wide contiguous row-gathers of the pair-ordered
+    # table — 32 tiles x 16 = 512 candidates/segment at ~3.6 ns/candidate
+    # (vs ~18 ns per-candidate random rows). Tuned on the dense stress
+    # scene vs the exact oracle (tools/audit_train_budget.py): examining
+    # 512 candidates + seg3/f0.25 drops training-path mean|dcolor|
+    # 0.168 -> ~0.012 (BASELINE.md round 3); the per-candidate prefilter
+    # variant measured 10.6x slower at scale (random flat gathers).
+    tracer_select_tiles: int = 32
+    tracer_tile: int = 16
+    tracer_prefilter_width: int = 0
     tracer_hit_budget: int = 16
     tracer_max_crossings: int = 24
     # segmented re-trace (≙ the OptiX raygen's per-segment loop,
@@ -86,13 +88,14 @@ class PipelineConfig:
     # budgets below. Escaped/saturated rays never pay wide-candidate costs,
     # and the coarse-occupancy completeness check (ops/grid_tracer.py
     # _coarse_scan) keeps escaping rays out of the re-trace set.
-    tracer_max_cells_eval: int = 12
+    tracer_max_cells_eval: int = 16
     tracer_max_hits_eval: int = 48
-    # two-tier screen widths: lean first pass 256, wide re-trace rounds 1024
-    # (stress-scene oracle bias 0.00029 — 6x better than the r2 wide-first
-    # config, at narrow-first cost; tools/audit_train_budget.py)
-    tracer_prefilter_width_eval: int = 256
-    tracer_retrace_prefilter_width_eval: int = 1024
+    # tiled widths: lean first pass 48x16 = 768 candidates, wide re-trace
+    # rounds 96x16 = 1536
+    tracer_select_tiles_eval: int = 48
+    tracer_retrace_select_tiles_eval: int = 96
+    tracer_prefilter_width_eval: int = 0
+    tracer_retrace_prefilter_width_eval: int = 0
     tracer_hit_budget_eval: int = 24
     tracer_max_crossings_eval: int = 24
     # Eval re-trace schedule: geometrically-declining unrolled rounds
@@ -102,7 +105,7 @@ class PipelineConfig:
     # while_loop alternative (tracer_retrace_while_eval) exists but its
     # small-tail schedule under-covers block-heterogeneous demand (28 dB
     # measured at tail_frac 0.02) — off until tuned.
-    tracer_n_segments_eval: int = 6
+    tracer_n_segments_eval: int = 4
     tracer_retrace_frac_eval: float = 0.5
     tracer_retrace_decay_eval: float = 0.5
     tracer_retrace_while_eval: bool = False
@@ -111,7 +114,7 @@ class PipelineConfig:
     tracer_retrace_max_cells_eval: int = 24
     tracer_retrace_max_hits_eval: int = 256
     tracer_retrace_hit_budget_eval: int = 32
-    tracer_retrace_max_crossings_eval: int = 0   # 0 = full crossings
+    tracer_retrace_max_crossings_eval: int = 32  # 0 = full crossings
     # rendering-equation eval chunk (reference: 2**20 point-samples,
     # gaussian_renderer/__init__.py:314)
     eval_chunk_point_samples: int = 2 ** 20

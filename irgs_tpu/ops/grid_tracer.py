@@ -167,6 +167,10 @@ class TracerConfig:
                                         0),
                 retrace_prefilter_width=getattr(
                     pipe, "tracer_retrace_prefilter_width_eval", 0),
+                select_tiles=getattr(pipe, "tracer_select_tiles_eval", 0),
+                retrace_select_tiles=getattr(
+                    pipe, "tracer_retrace_select_tiles_eval", 0),
+                tile=getattr(pipe, "tracer_tile", 16),
                 hit_budget=pipe.tracer_hit_budget_eval,
                 max_crossings=pipe.tracer_max_crossings_eval,
                 n_segments=pipe.tracer_n_segments_eval,
@@ -189,6 +193,8 @@ class TracerConfig:
             max_cells=pipe.tracer_max_cells,
             max_hits=pipe.tracer_max_hits,
             prefilter_width=getattr(pipe, "tracer_prefilter_width", 0),
+            select_tiles=getattr(pipe, "tracer_select_tiles", 0),
+            tile=getattr(pipe, "tracer_tile", 16),
             hit_budget=pipe.tracer_hit_budget,
             max_crossings=pipe.tracer_max_crossings,
             n_segments=pipe.tracer_n_segments,

@@ -165,6 +165,10 @@ def stage1_full_step(state: Stage1State, cam: CameraParams, gt_image, cam_mask,
                                    vol=vol, use_indirect=st.use_indirect,
                                    means2d_offset=m2d, **kw)
         loss, metrics = _calc_loss(pkg, gt_image, cam_mask, state.step, st)
+        # overflow of the duplicate buffer silently drops splats from tiles
+        # (≙ reference CHECK_CUDA posture, auxiliary.h:303) — surface it
+        metrics["raster_overflow"] = \
+            pkg["raster"].overflow.astype(jnp.float32)
         return loss, (metrics, pkg["raster"].radii)
 
     (loss, (metrics, radii)), (grads, g2d) = jax.value_and_grad(

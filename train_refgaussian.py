@@ -195,6 +195,10 @@ def main():
             m.update(iter=it, phase=phase,
                      n_alive=int(jnp.sum(state.aux.alive)),
                      elapsed=round(time.time() - t0, 1))
+            if m.get("raster_overflow", 0) > 0:
+                print(f"WARNING: capacity overflow at iter {it}: "
+                      f"raster dup {m['raster_overflow']:.0f}; "
+                      "increase --dup_capacity", flush=True)
             print(json.dumps(m), flush=True)
             log.write(json.dumps(m) + "\n")
             log.flush()
