@@ -96,4 +96,16 @@ dt_d = time.time() - t0
 results["stage1_densify_ms"] = round(dt_d * 1e3, 1)
 print(f"densify_and_prune warm: {dt_d*1e3:.0f} ms", flush=True)
 
+# TSDF refresh (every mesh_interval=2000 iters in the reference schedule,
+# train_refgaussian.py:236-249): render all train views + fuse + no extract
+t0 = time.time()
+vol = s1.reconstruct_tsdf(p3, a3, cams, img_w=IMG, img_h=IMG,
+                          active_sh_degree=3, mesh_res=128,
+                          cameras_extent=3.3, dup_capacity=2 ** 20)
+np.asarray(vol.tsdf.ravel()[0])
+dt_t = time.time() - t0
+results["stage1_tsdf_refresh_s"] = round(dt_t, 2)
+print(f"tsdf refresh ({len(cams)} views, 128^3): {dt_t:.1f} s "
+      "(incl. compile)", flush=True)
+
 print(json.dumps(results), flush=True)

@@ -1,0 +1,39 @@
+#!/bin/bash
+# Sequential TPU validation queue — one process at a time (concurrent TPU
+# processes fault the device). Each step logs to /tmp/q_<name>.log and is
+# skipped if its log already ends in DONE (resumable after device faults).
+cd /root/repo
+
+run_step() {
+  name=$1; shift
+  log=/tmp/q_${name}.log
+  if [ -f "$log" ] && tail -1 "$log" | grep -q "^QUEUE_STEP_DONE"; then
+    echo "skip $name (done)"; return 0
+  fi
+  echo "=== $name: $(date +%H:%M:%S) ==="
+  timeout "$1" "${@:2}" > "$log" 2>&1
+  rc=$?
+  if [ $rc -eq 0 ]; then echo "QUEUE_STEP_DONE" >> "$log"; fi
+  echo "=== $name exit $rc ==="
+  sleep 10
+}
+
+# 1. quick device sanity + canonical overfit drive (verify)
+run_step drive_overfit 900 python tools/drive_overfit.py
+
+# 2. tracer quality audit at the new tiled defaults (exact-oracle bias)
+run_step audit 3600 python tools/audit_train_budget.py
+
+# 3. chained component/config profile at eval budgets
+run_step prof_eval 3600 python tools/_prof_eval_tracer.py
+
+# 4. headline bench
+run_step bench 1800 python bench.py
+
+# 5. stage-1 per-phase bench
+run_step bench_stage1 2400 python tools/bench_stage1.py
+
+# 6. on-device Pallas vs XLA raster parity (VERDICT r2 weak #7)
+run_step raster_parity 1200 python tools/check_raster_parity.py
+
+echo "ALL QUEUE STEPS ATTEMPTED $(date +%H:%M:%S)"
