@@ -83,7 +83,8 @@ def main():
         light_t_min=cfg.pipe.light_t_min, training=False)
     pix_chunk = max(2 ** 20 // (args.diffuse_sample_num + args.light_sample_num), 128)
 
-    def render_relit(params, grid, cam, env: relight.RelightEnv):
+    @jax.jit
+    def gbuffer_j(params, cam):
         feats = jnp.concatenate([params.get_base_color() * base_scale[None],
                                  params.get_roughness()], -1)
         raster = sr.rasterize(
@@ -93,30 +94,52 @@ def main():
             img_w=w, img_h=h, active_sh_degree=cfg.model.sh_degree,
             alive=aux.alive)
         maps = ir.derive_geometry_maps(raster, cam, w, h)
+        return raster, maps
+
+    @jax.jit
+    def shade_chunk_j(px_c, params, grid, cam_pos, env: relight.RelightEnv):
         trace_fn = ir.make_trace_fn(params, aux, grid, tracer_cfg,
-                                    cam.cam_pos, cfg.model.sh_degree,
+                                    cam_pos, cfg.model.sh_degree,
                                     with_materials=True)
+        return relight.rendering_equation_relight(
+            px_c["base"], px_c["rough"], px_c["normal"], px_c["points"],
+            px_c["wo"], env, trace_fn, shade_cfg, fg_lut,
+            wo_indirect_relight=cfg.pipe.wo_indirect_relight)
+
+    def render_j(params, grid, cam, env: relight.RelightEnv):
+        # foreground-compacted chunk loop (≙ reference eval pixel set
+        # mask = render_alpha[0] > 0, gaussian_renderer/__init__.py:215-216):
+        # only fg pixels pay the MC budget, one jitted dispatch per chunk
+        raster, maps = gbuffer_j(params, cam)
+        alpha = maps["alpha"]
         flat = lambda x: x.reshape(-1, x.shape[-1])
         px = dict(base=flat(raster.feature[..., :3]),
                   rough=flat(raster.feature[..., 3:4]),
                   normal=flat(maps["normal_map"]), points=flat(maps["points"]),
                   wo=-flat(maps["rays_d"]))
         n_px = w * h
-        pad = (-n_px) % pix_chunk
-        px = {k: jnp.pad(v, ((0, pad), (0, 0))).reshape(-1, pix_chunk, v.shape[-1])
-              for k, v in px.items()}
-        re = jax.lax.map(
-            lambda c: relight.rendering_equation_relight(
-                c["base"], c["rough"], c["normal"], c["points"], c["wo"],
-                env, trace_fn, shade_cfg, fg_lut,
-                wo_indirect_relight=cfg.pipe.wo_indirect_relight), px)
-        re = {k: v.reshape((-1,) + v.shape[2:])[:n_px].reshape(h, w, -1)
-              for k, v in re.items()}
-        alpha = maps["alpha"]
+        fg = np.flatnonzero(np.asarray(alpha[..., 0]) > 0)
+        if fg.size == 0:
+            fg = np.zeros((1,), np.int64)
+        n_fg = int(fg.size)
+        n_chunks = -(-n_fg // pix_chunk)
+        idx = np.zeros(n_chunks * pix_chunk, np.int32)
+        idx[:n_fg] = fg
+        px = {k: v[jnp.asarray(idx)] for k, v in px.items()}
+        outs = []
+        for c in range(n_chunks):
+            px_c = {k: v[c * pix_chunk:(c + 1) * pix_chunk]
+                    for k, v in px.items()}
+            re_c = shade_chunk_j(px_c, params, grid, cam.cam_pos, env)
+            outs.append({k: np.asarray(v) for k, v in re_c.items()})
+        re = {}
+        for k in ("diffuse", "specular"):
+            acc = np.concatenate([o[k] for o in outs])[:n_fg]
+            buf = np.zeros((n_px, acc.shape[-1]), np.float32)
+            buf[fg] = acc
+            re[k] = jnp.asarray(buf.reshape(h, w, -1))
         img = rgb_to_srgb(re["diffuse"] + re["specular"]) * alpha
-        return img + jnp.zeros(3)[None, None] * (1 - alpha), alpha
-
-    render_j = jax.jit(render_relit, static_argnums=())
+        return img, alpha
 
     results = {}
     out_root = os.path.join(args.model_path, "relight")

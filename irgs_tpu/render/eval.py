@@ -43,8 +43,62 @@ class EvalConfig:
         return min(1 << (c.bit_length() - 1), 4096)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _gbuffer(params, aux, cam: CameraParams, cfg: EvalConfig):
+    features = jnp.concatenate([params.get_base_color(), params.get_roughness()],
+                               axis=-1)
+    raster = sr.rasterize(
+        params.xyz, params.get_scaling(), params.rotation,
+        params.get_opacity()[:, 0], params.get_features(), features,
+        jnp.zeros((params.n_capacity, 2)), cam, jnp.zeros(3),
+        img_w=cfg.img_w, img_h=cfg.img_h, active_sh_degree=cfg.active_sh_degree,
+        dup_capacity=cfg.dup_capacity, alive=aux.alive)
+    maps = ir.derive_geometry_maps(raster, cam, cfg.img_w, cfg.img_h,
+                                   depth_ratio=cfg.depth_ratio)
+    return raster, maps
+
+
+def _shade_impl(px_c, params, aux, grid, env_raw, pdf, cam_pos,
+                env_transform, cfg: EvalConfig, shard=None):
+    """One pixel chunk through the MC rendering equation. Everything the
+    trace closure binds (params, grid tables) enters as jit ARGUMENTS —
+    closed-over device arrays trigger pathological constant-fold compiles
+    on the remote-compile backend."""
+    trace_fn = ir.make_trace_fn(params, aux, grid, cfg.tracer, cam_pos,
+                                cfg.active_sh_degree)
+    shade_cfg = ir.ShadeConfig(
+        diffuse_sample_num=cfg.diffuse_sample_num,
+        light_sample_num=cfg.light_sample_num, light_t_min=cfg.light_t_min,
+        wo_indirect=cfg.wo_indirect, training=False)
+    return ir.rendering_equation(
+        px_c["base"], px_c["rough"], px_c["normal"], px_c["points"],
+        px_c["wo"], env_raw, pdf, trace_fn, shade_cfg, key=None,
+        env_transform=env_transform, shard=shard)
+
+
+_shade_chunk = functools.partial(jax.jit, static_argnames=("cfg",))(_shade_impl)
+
+
+@functools.lru_cache(maxsize=8)
+def _shade_chunk_sharded(mesh, cfg: EvalConfig):
+    """Per-chunk sample-sharded shade over a device mesh (replicated
+    inputs; each device traces its 1/D slice of every pixel's samples,
+    partial means combine with a pmean inside rendering_equation)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    axis = mesh.axis_names[0]
+
+    def impl(px_c, params, aux, grid, env_raw, pdf, cam_pos, env_transform):
+        return _shade_impl(px_c, params, aux, grid, env_raw, pdf, cam_pos,
+                           env_transform, cfg, shard=(axis, mesh.size))
+
+    return jax.jit(shard_map(impl, mesh=mesh, in_specs=(P(),) * 8,
+                             out_specs=P(), check_vma=False))
+
+
 def render_ir_eval(params, aux, grid, cam: CameraParams, cfg: EvalConfig,
-                  env_override=None, env_transform=None, key=None, mesh=None):
+                  env_override=None, env_transform=None, key=None, mesh=None,
+                  compact_fg: bool = True):
     """Render one eval view with all AOVs. Returns dict of [H, W, C] images.
 
     `mesh`: optional jax.sharding.Mesh — the MC sample axis shards across
@@ -52,29 +106,22 @@ def render_ir_eval(params, aux, grid, cam: CameraParams, cfg: EvalConfig,
     partial means combine with a pmean inside rendering_equation). The
     G-buffer rasterization is replicated (it is a tiny fraction of eval
     cost at the reference sample counts).
+
+    `compact_fg`: shade ONLY foreground pixels (≙ the reference's eval
+    pixel set `mask = render_alpha[0] > 0`, gaussian_renderer/
+    __init__.py:215-216) — background pixels never pay the MC budget
+    (2-3x fewer traced rays on typical object scenes). Requires eager
+    (host-level) invocation: chunks dispatch one jitted call each, so a
+    device fault can't kill a whole frame. Under an outer jit this
+    silently falls back to the all-pixels path.
     """
     bg = jnp.full((3,), 1.0 if cfg.white_background else 0.0, jnp.float32)
     w, h = cfg.img_w, cfg.img_h
-    features = jnp.concatenate([params.get_base_color(), params.get_roughness()],
-                               axis=-1)
-    raster = sr.rasterize(
-        params.xyz, params.get_scaling(), params.rotation,
-        params.get_opacity()[:, 0], params.get_features(), features,
-        jnp.zeros((params.n_capacity, 2)), cam, jnp.zeros(3),
-        img_w=w, img_h=h, active_sh_degree=cfg.active_sh_degree,
-        dup_capacity=cfg.dup_capacity, alive=aux.alive)
-    maps = ir.derive_geometry_maps(raster, cam, w, h,
-                                   depth_ratio=cfg.depth_ratio)
+    raster, maps = _gbuffer(params, aux, cam, cfg)
     alpha = maps["alpha"]
 
     env_raw = params.env if env_override is None else env_override
     pdf = envlight.build_pdf(env_raw)
-    shade_cfg = ir.ShadeConfig(
-        diffuse_sample_num=cfg.diffuse_sample_num,
-        light_sample_num=cfg.light_sample_num, light_t_min=cfg.light_t_min,
-        wo_indirect=cfg.wo_indirect, training=False)
-    trace_fn = ir.make_trace_fn(params, aux, grid, cfg.tracer, cam.cam_pos,
-                                cfg.active_sh_degree)
 
     flat = lambda x: x.reshape(-1, x.shape[-1])
     px = dict(
@@ -86,32 +133,61 @@ def render_ir_eval(params, aux, grid, cam: CameraParams, cfg: EvalConfig,
     )
     n_px = w * h
     pc = cfg.pixel_chunk
-    pad = (-n_px) % pc
-    px = {k: jnp.pad(v, ((0, pad), (0, 0))) for k, v in px.items()}
-    px = {k: v.reshape(-1, pc, v.shape[-1]) for k, v in px.items()}
 
-    def shade_chunk(c, shard=None):
-        return ir.rendering_equation(
-            c["base"], c["rough"], c["normal"], c["points"], c["wo"],
-            env_raw, pdf, trace_fn, shade_cfg, key=None,
-            env_transform=env_transform, shard=shard)
-
-    if mesh is None:
-        re = jax.lax.map(shade_chunk, px)
+    if compact_fg and not isinstance(alpha, jax.core.Tracer):
+        import numpy as np
+        fg = np.flatnonzero(np.asarray(alpha[..., 0]) > 0)
+        if fg.size == 0:
+            fg = np.zeros((1,), np.int64)
+        n_fg = int(fg.size)
+        n_chunks = -(-n_fg // pc)
+        idx = np.zeros(n_chunks * pc, np.int32)
+        idx[:n_fg] = fg
+        px_sel = {k: v[jnp.asarray(idx)] for k, v in px.items()}
+        outs = []
+        for c in range(n_chunks):
+            px_c = {k: v[c * pc:(c + 1) * pc] for k, v in px_sel.items()}
+            if mesh is None:
+                re_c = _shade_chunk(px_c, params, aux, grid, env_raw, pdf,
+                                    cam.cam_pos, env_transform, cfg=cfg)
+            else:
+                re_c = _shade_chunk_sharded(mesh, cfg)(
+                    px_c, params, aux, grid, env_raw, pdf, cam.cam_pos,
+                    env_transform)
+            # sync per chunk: bounds device-queue depth (long queued work
+            # faults the tunnel device) and makes frames resumable
+            outs.append({k: np.asarray(v) for k, v in re_c.items()})
+        re = {}
+        for k in outs[0]:
+            acc = np.concatenate([o[k] for o in outs])[:n_fg]
+            buf = np.zeros((n_px, acc.shape[-1]), np.float32)
+            buf[fg] = acc
+            re[k] = jnp.asarray(buf.reshape(h, w, -1))
     else:
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-        axis = mesh.axis_names[0]
-        n_dev = mesh.size
+        pad = (-n_px) % pc
+        pxp = {k: jnp.pad(v, ((0, pad), (0, 0))) for k, v in px.items()}
+        pxp = {k: v.reshape(-1, pc, v.shape[-1]) for k, v in pxp.items()}
 
-        def dev_fn(pxd):
-            return jax.lax.map(
-                functools.partial(shade_chunk, shard=(axis, n_dev)), pxd)
+        def shade_chunk(c, shard=None):
+            return _shade_impl(c, params, aux, grid, env_raw, pdf,
+                               cam.cam_pos, env_transform, cfg, shard=shard)
 
-        re = shard_map(dev_fn, mesh=mesh, in_specs=(P(),), out_specs=P(),
-                       check_vma=False)(px)
-    re = {k: v.reshape((-1,) + v.shape[2:])[:n_px].reshape(h, w, -1)
-          for k, v in re.items()}
+        if mesh is None:
+            re = jax.lax.map(shade_chunk, pxp)
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            axis = mesh.axis_names[0]
+            n_dev = mesh.size
+
+            def dev_fn(pxd):
+                return jax.lax.map(
+                    functools.partial(shade_chunk, shard=(axis, n_dev)), pxd)
+
+            re = shard_map(dev_fn, mesh=mesh, in_specs=(P(),), out_specs=P(),
+                           check_vma=False)(pxp)
+        re = {k: v.reshape((-1,) + v.shape[2:])[:n_px].reshape(h, w, -1)
+              for k, v in re.items()}
 
     rendered_full = rgb_to_srgb(re["diffuse"] + re["specular"])
     final = rendered_full * alpha + bg[None, None] * (1 - alpha)

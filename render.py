@@ -69,8 +69,11 @@ def main():
         from irgs_tpu.parallel import make_mesh
         mesh = make_mesh(args.n_devices)
         print(f"sample-sharded eval over {args.n_devices} devices", flush=True)
-    render_j = jax.jit(lambda p, g, c: render_ir_eval(
-        p, aux, g, c, ecfg, env_transform=transform, mesh=mesh))
+    # eager: foreground-compacted chunk loop (each chunk is one jitted
+    # dispatch; background pixels never pay the MC budget — ≙ reference
+    # mask = render_alpha[0] > 0, gaussian_renderer/__init__.py:215-216)
+    render_j = lambda p, g, c: render_ir_eval(
+        p, aux, g, c, ecfg, env_transform=transform, mesh=mesh)
 
     out_dir = os.path.join(args.model_path, "test", f"ours_{it}")
     os.makedirs(out_dir, exist_ok=True)

@@ -127,3 +127,68 @@ def test_sample_sharded_eval_matches_single_device(setup):
         np.testing.assert_allclose(
             np.asarray(sharded[k]), np.asarray(single[k]),
             rtol=2e-4, atol=2e-5, err_msg=f"sharded eval mismatch in {k}")
+
+
+def test_compact_fg_eval_matches_full(setup):
+    """The eager foreground-compacted chunk loop must reproduce the
+    all-pixels (traced) eval path: fg pixels shade identically, background
+    pixels compose from bg/env with zero MC contribution (≙ reference
+    mask = render_alpha[0] > 0, __init__.py:215-216).
+
+    Exactness holds with pure cosine-hemisphere sampling (per-pixel
+    deterministic from the normal). With light importance sampling the
+    categorical draws depend on the pixel's BATCH SLOT (same behavior
+    class as the reference's global-RNG torch.multinomial), so chunk
+    composition perturbs per-pixel noise, not the estimator — checked
+    statistically below."""
+    from irgs_tpu.render.eval import EvalConfig, render_ir_eval
+
+    params, aux, cams, st = setup
+    ecfg = EvalConfig(img_w=32, img_h=32, active_sh_degree=1,
+                      diffuse_sample_num=16, light_sample_num=0,
+                      dup_capacity=2 ** 12, tracer=st.tracer)
+    grid = gt.build_grid_from_gaussians(params, aux, ecfg.tracer)
+    cam = cams[0].params()
+
+    full = render_ir_eval(params, aux, grid, cam, ecfg, compact_fg=False)
+    compact = render_ir_eval(params, aux, grid, cam, ecfg, compact_fg=True)
+    assert float(full["rend_alpha"].max()) > 0.5  # scene covers some pixels
+    assert float(full["rend_alpha"].min()) == 0.0  # and leaves background
+    for k in ("render", "diffuse", "specular", "visibility", "light",
+              "render_env", "light_indirect"):
+        np.testing.assert_allclose(
+            np.asarray(compact[k]), np.asarray(full[k]),
+            rtol=2e-4, atol=2e-5, err_msg=f"compact eval mismatch in {k}")
+
+    # with light sampling: same estimator, different per-pixel noise
+    ecfg_l = EvalConfig(img_w=32, img_h=32, active_sh_degree=1,
+                        diffuse_sample_num=16, light_sample_num=8,
+                        dup_capacity=2 ** 12, tracer=st.tracer)
+    full_l = render_ir_eval(params, aux, grid, cam, ecfg_l, compact_fg=False)
+    comp_l = render_ir_eval(params, aux, grid, cam, ecfg_l, compact_fg=True)
+    f, c = np.asarray(full_l["render"]), np.asarray(comp_l["render"])
+    assert abs(f.mean() - c.mean()) < 5e-3
+    bg = np.asarray(full_l["rend_alpha"][..., 0]) == 0
+    np.testing.assert_allclose(c[bg], f[bg], atol=1e-6)
+
+
+def test_compact_fg_eval_sharded_matches_full(setup):
+    """compact_fg + mesh: the per-chunk shard_map path agrees too (exact
+    with per-pixel-deterministic cosine sampling)."""
+    from irgs_tpu.render.eval import EvalConfig, render_ir_eval
+
+    params, aux, cams, st = setup
+    mesh = dp.make_mesh()
+    ecfg = EvalConfig(img_w=32, img_h=32, active_sh_degree=1,
+                      diffuse_sample_num=16, light_sample_num=0,
+                      dup_capacity=2 ** 12, tracer=st.tracer)
+    grid = gt.build_grid_from_gaussians(params, aux, ecfg.tracer)
+    cam = cams[0].params()
+
+    full = render_ir_eval(params, aux, grid, cam, ecfg, compact_fg=False)
+    compact = render_ir_eval(params, aux, grid, cam, ecfg, mesh=mesh,
+                             compact_fg=True)
+    for k in ("render", "diffuse", "specular"):
+        np.testing.assert_allclose(
+            np.asarray(compact[k]), np.asarray(full[k]),
+            rtol=2e-4, atol=2e-5, err_msg=f"sharded compact mismatch in {k}")
