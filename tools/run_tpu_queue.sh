@@ -36,4 +36,7 @@ run_step bench_stage1 2400 python tools/bench_stage1.py
 # 6. on-device Pallas vs XLA raster parity (VERDICT r2 weak #7)
 run_step raster_parity 1200 python tools/check_raster_parity.py
 
+# 7. one 800^2 NVS frame end-to-end at reference eval sample counts
+run_step bench_frame 3600 python tools/bench_frame.py
+
 echo "ALL QUEUE STEPS ATTEMPTED $(date +%H:%M:%S)"
