@@ -104,7 +104,8 @@ def main():
         return relight.rendering_equation_relight(
             px_c["base"], px_c["rough"], px_c["normal"], px_c["points"],
             px_c["wo"], env, trace_fn, shade_cfg, fg_lut,
-            wo_indirect_relight=cfg.pipe.wo_indirect_relight)
+            wo_indirect_relight=cfg.pipe.wo_indirect_relight,
+            pixel_ids=px_c["pid"][:, 0])
 
     def render_j(params, grid, cam, env: relight.RelightEnv):
         # foreground-compacted chunk loop (≙ reference eval pixel set
@@ -113,11 +114,12 @@ def main():
         raster, maps = gbuffer_j(params, cam)
         alpha = maps["alpha"]
         flat = lambda x: x.reshape(-1, x.shape[-1])
+        n_px = w * h
         px = dict(base=flat(raster.feature[..., :3]),
                   rough=flat(raster.feature[..., 3:4]),
                   normal=flat(maps["normal_map"]), points=flat(maps["points"]),
-                  wo=-flat(maps["rays_d"]))
-        n_px = w * h
+                  wo=-flat(maps["rays_d"]),
+                  pid=jnp.arange(n_px, dtype=jnp.int32)[:, None])
         fg = np.flatnonzero(np.asarray(alpha[..., 0]) > 0)
         if fg.size == 0:
             fg = np.zeros((1,), np.int64)

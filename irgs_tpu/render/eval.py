@@ -73,7 +73,8 @@ def _shade_impl(px_c, params, aux, grid, env_raw, pdf, cam_pos,
     return ir.rendering_equation(
         px_c["base"], px_c["rough"], px_c["normal"], px_c["points"],
         px_c["wo"], env_raw, pdf, trace_fn, shade_cfg, key=None,
-        env_transform=env_transform, shard=shard)
+        env_transform=env_transform, shard=shard,
+        pixel_ids=px_c["pid"][:, 0] if "pid" in px_c else None)
 
 
 _shade_chunk = functools.partial(jax.jit, static_argnames=("cfg",))(_shade_impl)
@@ -124,14 +125,17 @@ def render_ir_eval(params, aux, grid, cam: CameraParams, cfg: EvalConfig,
     pdf = envlight.build_pdf(env_raw)
 
     flat = lambda x: x.reshape(-1, x.shape[-1])
+    n_px = w * h
     px = dict(
         base=flat(raster.feature[..., :3]),
         rough=flat(raster.feature[..., 3:4]),
         normal=flat(maps["normal_map"]),
         points=flat(maps["points"]),
         wo=-flat(maps["rays_d"]),
+        # per-pixel identity: light-sample draws become a pure function of
+        # the pixel, invariant to chunking/compaction/eval order
+        pid=jnp.arange(n_px, dtype=jnp.int32)[:, None],
     )
-    n_px = w * h
     pc = cfg.pixel_chunk
 
     if compact_fg and not isinstance(alpha, jax.core.Tracer):

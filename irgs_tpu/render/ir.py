@@ -77,7 +77,8 @@ class ShadeConfig:
 
 def rendering_equation(base_color, roughness, normals, position, viewdirs,
                        env_raw, env_pdf, trace_fn: Callable, cfg: ShadeConfig,
-                       key=None, env_transform=None, shard=None):
+                       key=None, env_transform=None, shard=None,
+                       pixel_ids=None):
     """MC estimate of the rendering equation at [B] surface points.
 
     ≙ rendering_equation (gaussian_renderer/__init__.py:334-415), non-relight
@@ -112,7 +113,7 @@ def rendering_equation(base_color, roughness, normals, position, viewdirs,
         diffuse_pdfs = 1.0 / diffuse_areas
         light_dirs, light_pdfs = envlight.sample_light_dirs(
             kl if kl is not None else jax.random.PRNGKey(0), env_pdf, b, s_l,
-            cfg.training, transform=env_transform)
+            cfg.training, transform=env_transform, pixel_ids=pixel_ids)
         diffuse_pdfs_light = 1.0 / (2.0 * jnp.pi)
         light_pdfs_diffuse = envlight.light_pdf(env_pdf, diffuse_dirs,
                                                 transform=env_transform)

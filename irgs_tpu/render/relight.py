@@ -62,7 +62,8 @@ def env_query(env: RelightEnv, dirs, mode: str = "pure_env", roughness=None):
 def rendering_equation_relight(base_color, roughness, normals, position,
                                viewdirs, env: RelightEnv, trace_fn,
                                cfg: ir.ShadeConfig, fg_lut, key=None,
-                               f0: float = 0.02, wo_indirect_relight: bool = False):
+                               f0: float = 0.02, wo_indirect_relight: bool = False,
+                               pixel_ids=None):
     """Relight MC shading at [B] surface points. trace_fn must return
     materials in TraceOut.feature[..., :4] = (base_color, roughness)
     (≙ pc.trace with features, __init__.py:363-364)."""
@@ -83,7 +84,7 @@ def rendering_equation_relight(base_color, roughness, normals, position,
         diffuse_pdfs = 1.0 / diffuse_areas
         light_dirs, light_pdfs = envlight.sample_light_dirs(
             kl if kl is not None else jax.random.PRNGKey(0), env.pdf, b, s_l,
-            cfg.training, transform=tf)
+            cfg.training, transform=tf, pixel_ids=pixel_ids)
         light_pdfs_diffuse = envlight.light_pdf(env.pdf, diffuse_dirs, transform=tf)
         diffuse_pdfs = diffuse_pdfs * p_diffuse + light_pdfs_diffuse * p_light
         light_pdfs = (1.0 / (2 * jnp.pi)) * p_diffuse + light_pdfs * p_light

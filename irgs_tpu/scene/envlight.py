@@ -110,21 +110,41 @@ def _texel_to_dir(gx, gy):
 
 
 def sample_light_dirs(key, pdf, batch: int, sample_num: int, training: bool,
-                      transform=None):
+                      transform=None, pixel_ids=None):
     """Draw (batch, sample_num) directions ∝ pdf; returns dirs + pdf values.
 
     ≙ EnvLight.sample_light_directions (light.py:181-205): multinomial draw
     over flat texels, jittered inside the texel when training.
+
+    `pixel_ids` [batch] int32: when given, each pixel's draws come from
+    `fold_in(key, pixel_id)` — a pure function of the pixel's identity, not
+    its batch slot, so results are invariant to chunking/compaction/eval
+    order. (The reference's torch.multinomial consumes the global RNG
+    sequentially and IS batch-slot-coupled; this is a strict improvement.)
     """
     h, w = pdf.shape
     logits = jnp.log(jnp.maximum(pdf.reshape(-1), 1e-30))
-    idx = jax.random.categorical(key, logits, shape=(batch * sample_num,))
+    if pixel_ids is not None:
+        keys = jax.vmap(lambda p: jax.random.fold_in(key, p))(pixel_ids)
+        idx = jax.vmap(
+            lambda k: jax.random.categorical(k, logits, shape=(sample_num,))
+        )(keys).reshape(-1)
+    else:
+        idx = jax.random.categorical(key, logits, shape=(batch * sample_num,))
     gx = ((idx % w).astype(jnp.float32) + 0.5) / w * 2.0 - 1.0
     gy = ((idx // w).astype(jnp.float32) + 0.5) / h
     if training:
-        k1, k2 = jax.random.split(jax.random.fold_in(key, 1))
-        gx = gx + (jax.random.uniform(k1, gx.shape) - 0.5) / w * 2.0
-        gy = gy + (jax.random.uniform(k2, gy.shape) - 0.5) / h
+        if pixel_ids is not None:
+            jk = jax.vmap(lambda p: jax.random.fold_in(key, p + (1 << 24)))(
+                pixel_ids)
+            u = jax.vmap(lambda k: jax.random.uniform(k, (sample_num, 2)))(jk)
+            u = u.reshape(-1, 2)
+            gx = gx + (u[:, 0] - 0.5) / w * 2.0
+            gy = gy + (u[:, 1] - 0.5) / h
+        else:
+            k1, k2 = jax.random.split(jax.random.fold_in(key, 1))
+            gx = gx + (jax.random.uniform(k1, gx.shape) - 0.5) / w * 2.0
+            gy = gy + (jax.random.uniform(k2, gy.shape) - 0.5) / h
     dirs = _texel_to_dir(gx, gy)
     if transform is not None:
         dirs = dirs @ transform
