@@ -94,6 +94,11 @@ class TracerConfig:
                                    # sparse cells, larger ones cut gather
                                    # rows per ray
     retrace_select_tiles: int = 0  # re-trace rounds (0 = inherit)
+    select_topk: bool = False      # tiled select: keep the kb nearest hits
+                                   # via a stable top_k + one-hot-matmul
+                                   # extraction instead of sorting all
+                                   # select_tiles*tile lanes (exact same
+                                   # hits and tie order; A/B on device)
     # coarse-occupancy DDA (empty-space skip + completeness check). Costs
     # ~40% of a narrow collect; it is what makes the eval re-trace loop
     # demand-proportional (escaping rays stop being flagged truncated).
@@ -881,12 +886,31 @@ def select_hits_tiled(ray_o, ray_d, grid: Grid, cells: Cells, pair_tab,
 
     pair_pos = pos3.reshape(R, S1)
     d_key = jnp.where(accept, d, INF)
-    d_s, pos_s = jax.lax.sort((d_key, pair_pos), num_keys=2, dimension=-1,
-                              is_stable=False)
-    valid_kb = d_s[:, :kb] < INF
-    gs_kb = grid.sorted_gauss[jnp.clip(pos_s[:, :kb], 0, P - 1)]
+    if cfg.select_topk:
+        # only the kb nearest survive, so a top-k beats sorting all S1
+        # lanes. top_k is stable (equal keys -> lower index first) and
+        # pair_pos increases along the lane axis, so EXACT depth ties keep
+        # the oracle's gaussian-id order, same as the two-key sort below.
+        bits = jax.lax.bitcast_convert_type(d_key, jnp.int32)  # d>0 ⇒ monotone
+        negk, idx = jax.lax.top_k(jnp.int32(0x7FFFFFFF) - bits, kb)
+        d_kb = jax.lax.bitcast_convert_type(jnp.int32(0x7FFFFFFF) - negk,
+                                            jnp.float32)
+        # extract pair_pos at idx via one-hot matmul (take_along_axis
+        # serializes on this backend; pair positions < 2^24 are f32-exact)
+        oh = (idx[:, :, None] == jnp.arange(S1, dtype=jnp.int32)[None, None]
+              ).astype(jnp.float32)
+        pos_kb = jnp.einsum("rks,rs->rk", oh,
+                            pair_pos.astype(jnp.float32)).astype(jnp.int32)
+        valid_kb = d_kb < INF
+        gs_kb = grid.sorted_gauss[jnp.clip(pos_kb, 0, P - 1)]
+        t_last = jnp.max(jnp.where(valid_kb, d_kb, 0.0), axis=-1)
+    else:
+        d_s, pos_s = jax.lax.sort((d_key, pair_pos), num_keys=2,
+                                  dimension=-1, is_stable=False)
+        valid_kb = d_s[:, :kb] < INF
+        gs_kb = grid.sorted_gauss[jnp.clip(pos_s[:, :kb], 0, P - 1)]
+        t_last = jnp.max(jnp.where(valid_kb, d_s[:, :kb], 0.0), axis=-1)
     n_accepted = jnp.sum(accept, axis=-1)
-    t_last = jnp.max(jnp.where(valid_kb, d_s[:, :kb], 0.0), axis=-1)
 
     # re-trace bookkeeping, in TILE units (cells are examined tile-atomically)
     more = ((n_accepted > kb)

@@ -367,13 +367,15 @@ def test_two_tier_gradients_match_oracle(setup):
                                    atol=2e-4, err_msg=name)
 
 
-def test_tiled_select_matches_brute_force(setup):
+@pytest.mark.parametrize("topk", [False, True])
+def test_tiled_select_matches_brute_force(setup, topk):
     """Tiled select (contiguous tile-block gathers + hit-cell dedup) must
-    stay oracle-exact through the segmented re-trace."""
+    stay oracle-exact through the segmented re-trace — in both k-buffer
+    extraction modes (full two-key sort / stable top_k)."""
     inputs, alive, grid, rays_o, rays_d = setup
     cfgt = gt.TracerConfig(
         grid_res=16, pair_capacity=2 ** 15, max_cells=48, span_cap=8,
-        select_tiles=8, tile=64, hit_budget=32,
+        select_tiles=8, tile=64, hit_budget=32, select_topk=topk,
         n_segments=8, retrace_frac=1.0)
     out = gt.trace_segments(rays_o, rays_d, grid, inputs,
                             cfg=cfgt, sh_deg=3)
