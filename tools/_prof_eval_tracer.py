@@ -148,8 +148,18 @@ tc_eval_tiled2 = dataclasses.replace(
     tc_eval, select_tiles=48, tile=16, retrace_select_tiles=96,
     max_cells=16, n_segments=4, retrace_frac=0.5, retrace_decay=0.5,
     retrace_max_cells=24, max_crossings=24, retrace_max_crossings=32)
+# the SHIPPING defaults (config.py) and their top_k k-buffer A/B
+from irgs_tpu.config import Config
+tc_ship_train = gt.TracerConfig.from_pipe(Config().pipe, eval=False)
+tc_ship_eval = gt.TracerConfig.from_pipe(Config().pipe, eval=True)
 for name, tc in (("train_pf512", tc_train_pf),
-                 ("eval_tiled2", tc_eval_tiled2)):
+                 ("eval_tiled2", tc_eval_tiled2),
+                 ("SHIP_train", tc_ship_train),
+                 ("SHIP_train_topk",
+                  dataclasses.replace(tc_ship_train, select_topk=True)),
+                 ("SHIP_eval", tc_ship_eval),
+                 ("SHIP_eval_topk",
+                  dataclasses.replace(tc_ship_eval, select_topk=True))):
     fn = ir.make_trace_fn(params, aux, grid, tc, jnp.zeros(3), 3)
 
     @jax.jit
