@@ -315,6 +315,44 @@ def test_trace_reference_coplanar_tie_order():
     np.testing.assert_allclose(np.asarray(out.alpha[0]), w.sum(), rtol=1e-5)
 
 
+@pytest.mark.parametrize("topk", [False, True])
+def test_tiled_select_coplanar_tie_order(topk):
+    """The production select paths must blend EXACT coplanar depth ties in
+    gaussian-index order, matching the oracle (both k-buffer extraction
+    modes: the two-key sort's pair_pos key, and top_k's lower-index-first
+    stability over the pair-ordered lane axis)."""
+    n = 6
+    inputs = gt.TraceInputs(
+        means3d=jnp.zeros((n, 3)),
+        opacity=jnp.linspace(0.2, 0.9, n),
+        ru=jnp.tile(jnp.array([[8.0, 0, 0]]), (n, 1)),
+        rv=jnp.tile(jnp.array([[0, 8.0, 0]]), (n, 1)),
+        normals=jnp.tile(jnp.array([[0.0, 0, 1.0]]), (n, 1)),
+        shs=jnp.arange(n, dtype=jnp.float32)[:, None, None]
+            * jnp.ones((n, 16, 3)) * 0.05,
+        features=jnp.zeros((n, 0)),
+    )
+    alive = jnp.ones(n, bool)
+    cfgt = gt.TracerConfig(grid_res=8, pair_capacity=2 ** 12, max_cells=8,
+                           span_cap=8, select_tiles=4, tile=8, hit_budget=8,
+                           select_topk=topk)
+    grid = gt.build_grid(inputs.means3d,
+                         gt.bounding_radius(inputs.opacity,
+                                            jnp.full((n, 2), 1 / 8.0),
+                                            cfgt.alpha_min),
+                         alive, grid_res=cfgt.grid_res,
+                         pair_capacity=cfgt.pair_capacity,
+                         normals=inputs.normals, span_cap=cfgt.span_cap)
+    ro = jnp.array([[0.0, 0.0, -2.0]])
+    rd = jnp.array([[0.0, 0.0, 1.0]])
+    out = gt.trace(ro, rd, grid, inputs, cfg=cfgt, sh_deg=0)
+    ref = gt.trace_reference(ro, rd, inputs, alive, sh_deg=0)
+    np.testing.assert_allclose(np.asarray(out.color[0]),
+                               np.asarray(ref.color[0]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.alpha[0]),
+                               np.asarray(ref.alpha[0]), rtol=1e-5)
+
+
 def test_two_tier_prefilter_matches_brute_force(setup):
     """Two-tier select (wide cheap screen -> narrow exact slots) must stay
     oracle-exact: the tier-1 ray-line-distance test is conservative (a
