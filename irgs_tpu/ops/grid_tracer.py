@@ -716,21 +716,37 @@ def collect_cells(ray_o, ray_d, grid: Grid, cfg: TracerConfig,
     # bits), so (start, count) ride the pack sort as ONE int32 payload
     meta_v = jnp.where(seg_valid & ((meta & _COUNT_MASK) > 0), meta, 0)
 
-    # pack the first max_cells non-empty segments per ray: one payload sort
-    # by (empty?, traversal order) pushes the non-empty segments to the front
+    # pack the first max_cells non-empty segments per ray. The sort key IS
+    # the segment position, so payloads are redundant: sort ONE operand
+    # (4x less sort traffic than carrying meta/t_in/t_out through every
+    # compare-exchange pass) and reconstruct the C surviving segments'
+    # values with a tiny one-hot einsum from the unsorted arrays.
     nonempty = meta_v != 0
-    pos = jnp.broadcast_to(jnp.arange(meta_v.shape[1], dtype=jnp.int32)[None],
+    S1 = meta_v.shape[1]
+    pos = jnp.broadcast_to(jnp.arange(S1, dtype=jnp.int32)[None],
                            meta_v.shape)
-    key = jnp.where(nonempty, pos, jnp.int32(1 << 30))
-    _, meta_p, tin_p, tout_p = jax.lax.sort(
-        (key, meta_v, t_in_j, t_out_j),
-        num_keys=1, dimension=-1, is_stable=False)
-    starts_p, counts_p = unpack_cell_meta(meta_p)
-    # after the sort, slots past the last non-empty segment carry cnt == 0
+    BIG = jnp.int32(1 << 30)
+    key_s = jax.lax.sort(jnp.where(nonempty, pos, BIG), dimension=-1,
+                         is_stable=False)
+    if C > S1:                                             # more slots than segments
+        key_s = jnp.pad(key_s, ((0, 0), (0, C - S1)), constant_values=1 << 30)
+    posC = key_s[:, :C]                                    # [R, C]
+    validC = posC < BIG
+    onehot = ((jnp.where(validC, posC, -1)[:, :, None]
+               == jnp.arange(S1, dtype=jnp.int32)[None, None])
+              ).astype(jnp.float32)                        # [R, C, S1]
+    starts_all, counts_all = unpack_cell_meta(meta_v)
+    # f32-exact: start < 2^21 (pack_cell_meta bound), count < 2^10
+    vals = jnp.stack([starts_all.astype(jnp.float32),
+                      counts_all.astype(jnp.float32), t_in_j, t_out_j],
+                     axis=-1)                              # [R, S1, 4]
+    ext = jnp.einsum("rcs,rsv->rcv", onehot, vals)         # [R, C, 4]
+    starts_p = ext[..., 0].astype(jnp.int32)
+    counts_p = ext[..., 1].astype(jnp.int32)               # 0 on empty slots
+    tin_p, tout_p = ext[..., 2], ext[..., 3]
     truncated = (jnp.sum(nonempty.astype(jnp.int32), axis=-1) > C) | incomplete
     resume = jnp.where(incomplete, horizon, 0.0)
-    return Cells(starts_p[:, :C], counts_p[:, :C], tin_p[:, :C],
-                 tout_p[:, :C], truncated, resume)
+    return Cells(starts_p, counts_p, tin_p, tout_p, truncated, resume)
 
 
 # ---------------------------------------------------------------------------
