@@ -63,14 +63,20 @@ def main():
         active_sh_degree=3, dup_capacity=st.dup_capacity, alive=aux.alive)
     assert int(probe.overflow) == 0, f"dup overflow {int(probe.overflow)}"
 
-    # warmup / compile
+    import numpy as np
+
+    # warmup / compile; the host FETCH (not block_until_ready, which does
+    # not synchronize with device execution on this backend) closes the
+    # dispatch chain — see BASELINE.md round-3 measurement-hygiene note
     state, _ = step(state, 0, key)
-    jax.block_until_ready(state.params.xyz)
+    np.asarray(state.params.xyz.ravel()[0])
 
     # best-of-k rounds: the bench host shares CPU with the TPU tunnel relay,
     # and concurrent host processes depress readings by 10-20% (BASELINE.md
     # measurement-hygiene note). The fastest round is the least-contended
     # estimate of device throughput; k*n keeps total runtime ~30 s.
+    # Steps CHAIN (each consumes the previous state), so one scalar fetch
+    # per round forces the whole round's execution.
     n_rounds, n_iters = 4, 10
     best_dt = float("inf")
     i = 0
@@ -80,7 +86,7 @@ def main():
             i += 1
             key, k = jax.random.split(key)
             state, metrics = step(state, i, k)
-        jax.block_until_ready(state.params.xyz)
+        np.asarray(state.params.xyz.ravel()[0])
         best_dt = min(best_dt, time.perf_counter() - t0)
     iters_per_sec = n_iters / best_dt
 
