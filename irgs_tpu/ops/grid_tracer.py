@@ -1220,7 +1220,7 @@ def trace(ray_o, ray_d, grid: Grid, inputs: TraceInputs, *, cfg: TracerConfig,
 
 def retrace_pass(out: TraceOut, hits: SelectedHits, ray_o, ray_d, grid: Grid,
                  inputs: TraceInputs, cfg: TracerConfig, sh_deg: int,
-                 capacity: int, back_culling: bool = False):
+                 capacity: int, back_culling: bool = False, pair_tab=None):
     """One compacted re-trace round (≙ the CUDA raygen's next k-buffer
     segment, gaussiantrace_forward.cu:27-103).
 
@@ -1241,16 +1241,17 @@ def retrace_pass(out: TraceOut, hits: SelectedHits, ray_o, ray_d, grid: Grid,
         # escaped pay nothing for the wide re-trace budgets
         def _run(_):
             return _retrace_body(out, hits, need, ray_o, ray_d, grid, inputs,
-                                 cfg, sh_deg, capacity, back_culling)
+                                 cfg, sh_deg, capacity, back_culling,
+                                 pair_tab=pair_tab)
 
         return jax.lax.cond(jnp.any(need), _run,
                             lambda _: (out, hits), operand=None)
     return _retrace_body(out, hits, need, ray_o, ray_d, grid, inputs, cfg,
-                         sh_deg, capacity, back_culling)
+                         sh_deg, capacity, back_culling, pair_tab=pair_tab)
 
 
 def _retrace_body(out, hits, need, ray_o, ray_d, grid, inputs, cfg, sh_deg,
-                  capacity, back_culling):
+                  capacity, back_culling, pair_tab=None):
     ro = jax.lax.stop_gradient(ray_o)
     rd = jax.lax.stop_gradient(ray_d)
     # compaction, prioritized by remaining transmittance: when more rays
@@ -1266,8 +1267,8 @@ def _retrace_body(out, hits, need, ray_o, ray_d, grid, inputs, cfg, sh_deg,
     t_accept = hits.t_last[idx] * (1.0 + 1e-5) + 1e-6
     t_collect = jnp.maximum(hits.t_cell[idx], 0.0)
     geom = jax.lax.stop_gradient(_pack_geom(inputs))
-    pair_tab = (_pair_tab_from_geom(grid, geom, cfg.tile)
-                if cfg.select_tiles > 0 else None)
+    if pair_tab is None and cfg.select_tiles > 0:
+        pair_tab = _pair_tab_from_geom(grid, geom, cfg.tile)
 
     def sel(ro_i, rd_i, t_c, t_a, skip_i):
         cells2 = collect_cells(ro_i, rd_i, grid, cfg, t_start=t_c)
@@ -1346,7 +1347,7 @@ def _retrace_body(out, hits, need, ray_o, ray_d, grid, inputs, cfg, sh_deg,
 
 def retrace_rounds(out: TraceOut, hits: SelectedHits, ray_o, ray_d,
                    grid: Grid, inputs: TraceInputs, cfg: TracerConfig,
-                   sh_deg: int, back_culling: bool = False):
+                   sh_deg: int, back_culling: bool = False, pair_tab=None):
     """Run the configured re-trace rounds on a first-pass (out, hits).
 
     Two schedules: the decayed unrolled one (differentiable — training), or
@@ -1358,6 +1359,11 @@ def retrace_rounds(out: TraceOut, hits: SelectedHits, ray_o, ray_d,
     if cfg.n_segments <= 1:
         return out, hits
     rcfg = cfg.retrace_cfg()
+    if pair_tab is None and rcfg.select_tiles > 0:
+        # one tile-row candidate table serves every round (it depends only
+        # on grid/geom/tile width, not on the per-round budget)
+        pair_tab = _pair_tab_from_geom(
+            grid, jax.lax.stop_gradient(_pack_geom(inputs)), rcfg.tile)
     n_rays = ray_o.shape[0]
     if cfg.retrace_while:
         cap = max(1, min(n_rays, int(n_rays * cfg.retrace_frac)))
@@ -1368,7 +1374,8 @@ def retrace_rounds(out: TraceOut, hits: SelectedHits, ray_o, ray_d,
         # bulk: unrolled full-capacity rounds (lax.cond-gated inside)
         for _ in range(n_bulk):
             out, hits = retrace_pass(out, hits, ray_o, ray_d, grid, inputs,
-                                     rcfg, sh_deg, cap, back_culling)
+                                     rcfg, sh_deg, cap, back_culling,
+                                     pair_tab=pair_tab)
 
         def cond(carry):
             o, h, rnd = carry
@@ -1379,7 +1386,8 @@ def retrace_rounds(out: TraceOut, hits: SelectedHits, ray_o, ray_d,
             o, h, rnd = carry
             need = h.more & (o.trans > tmin)
             o2, h2 = _retrace_body(o, h, need, ray_o, ray_d, grid, inputs,
-                                   rcfg, sh_deg, tail_cap, back_culling)
+                                   rcfg, sh_deg, tail_cap, back_culling,
+                                   pair_tab=pair_tab)
             return o2, h2, rnd + 1
 
         out, hits, _ = jax.lax.while_loop(cond, body,
@@ -1388,7 +1396,7 @@ def retrace_rounds(out: TraceOut, hits: SelectedHits, ray_o, ray_d,
     for rnd in range(cfg.n_segments - 1):
         out, hits = retrace_pass(out, hits, ray_o, ray_d, grid, inputs, rcfg,
                                  sh_deg, cfg.round_capacity(n_rays, rnd),
-                                 back_culling)
+                                 back_culling, pair_tab=pair_tab)
     return out, hits
 
 
@@ -1404,11 +1412,13 @@ def trace_segments(ray_o, ray_d, grid: Grid, inputs: TraceInputs, *,
     rd = jax.lax.stop_gradient(ray_d)
     cells = collect_cells(ro, rd, grid, cfg)
     geom = jax.lax.stop_gradient(_pack_geom(inputs))
+    pair_tab = (_pair_tab_from_geom(grid, geom, cfg.tile)
+                if cfg.select_tiles > 0 else None)
     hits = select_hits(ro, rd, grid.sorted_gauss, cells, geom, cfg,
-                       back_culling, grid=grid)
+                       back_culling, grid=grid, pair_tab=pair_tab)
     out = blend_hits(ray_o, ray_d, inputs, hits.gs, hits.valid, cfg, sh_deg)
     out, hits = retrace_rounds(out, hits, ray_o, ray_d, grid, inputs, cfg,
-                               sh_deg, back_culling)
+                               sh_deg, back_culling, pair_tab=pair_tab)
     return out
 
 

@@ -314,9 +314,11 @@ def make_trace_fn(params, aux, grid, tracer_cfg: gt.TracerConfig,
                 stats_out["trace_trunc_frac"] = jnp.sum(need0) / m
             if tracer_cfg.n_segments > 1:
                 # segmented re-trace on the padded, coherence-sorted arrays
-                # (≙ gaussiantrace_forward.cu:27-103's per-segment loop)
+                # (≙ gaussiantrace_forward.cu:27-103's per-segment loop);
+                # the first pass's tile-row table is reused by every round
                 out, hits = gt.retrace_rounds(out, hits, rop, rdp, grid,
-                                              inputs, tracer_cfg, sh_deg)
+                                              inputs, tracer_cfg, sh_deg,
+                                              pair_tab=pair_tab)
             if stats_out is not None:
                 need_end = hits.more & (jax.lax.stop_gradient(out.trans)
                                         > tracer_cfg.transmittance_min)
