@@ -18,25 +18,40 @@ run_step() {
   sleep 10
 }
 
-# 1. quick device sanity + canonical overfit drive (verify)
-run_step drive_overfit 900 python tools/drive_overfit.py
+queue_pass() {
+  # 1. quick device sanity + canonical overfit drive (verify)
+  run_step drive_overfit 900 python tools/drive_overfit.py
 
-# 2. tracer quality audit at the new tiled defaults (exact-oracle bias)
-run_step audit 3600 python tools/audit_train_budget.py
+  # 2. tracer quality audit at the new tiled defaults (exact-oracle bias)
+  run_step audit 3600 python tools/audit_train_budget.py
 
-# 3. chained component/config profile at eval budgets
-run_step prof_eval 3600 python tools/_prof_eval_tracer.py
+  # 3. chained component/config profile at eval budgets
+  run_step prof_eval 3600 python tools/_prof_eval_tracer.py
 
-# 4. headline bench
-run_step bench 1800 python bench.py
+  # 4. headline bench
+  run_step bench 1800 python bench.py
 
-# 5. stage-1 per-phase bench
-run_step bench_stage1 2400 python tools/bench_stage1.py
+  # 5. stage-1 per-phase bench
+  run_step bench_stage1 2400 python tools/bench_stage1.py
 
-# 6. on-device Pallas vs XLA raster parity (VERDICT r2 weak #7)
-run_step raster_parity 1200 python tools/check_raster_parity.py
+  # 6. on-device Pallas vs XLA raster parity (VERDICT r2 weak #7)
+  run_step raster_parity 1200 python tools/check_raster_parity.py
 
-# 7. one 800^2 NVS frame end-to-end at reference eval sample counts
-run_step bench_frame 3600 python tools/bench_frame.py
+  # 7. one 800^2 NVS frame end-to-end at reference eval sample counts
+  run_step bench_frame 3600 python tools/bench_frame.py
+}
+
+# up to 3 passes: a device fault mid-queue marks steps un-DONE; later
+# passes retry only those (5 min recovery idle between passes)
+for pass in 1 2 3; do
+  echo "=== QUEUE PASS $pass $(date +%H:%M:%S) ==="
+  queue_pass
+  all_done=1
+  for s in drive_overfit audit prof_eval bench bench_stage1 raster_parity bench_frame; do
+    tail -1 /tmp/q_${s}.log 2>/dev/null | grep -q "^QUEUE_STEP_DONE" || all_done=0
+  done
+  [ $all_done -eq 1 ] && break
+  sleep 300
+done
 
 echo "ALL QUEUE STEPS ATTEMPTED $(date +%H:%M:%S)"
