@@ -39,6 +39,11 @@ queue_pass() {
 
   # 7. one 800^2 NVS frame end-to-end at reference eval sample counts
   run_step bench_frame 3600 python tools/bench_frame.py
+
+  # 8. shadow-scene oracle parity + Mrays/s at the new tiled eval defaults
+  #    (results cached per block in /tmp/jax_tool_cache-adjacent npy files,
+  #    so re-runs after faults resume)
+  run_step drive_parity 7200 python tools/drive_parity.py
 }
 
 # up to 3 passes: a device fault mid-queue marks steps un-DONE; later
@@ -47,7 +52,7 @@ for pass in 1 2 3; do
   echo "=== QUEUE PASS $pass $(date +%H:%M:%S) ==="
   queue_pass
   all_done=1
-  for s in drive_overfit audit prof_eval bench bench_stage1 raster_parity bench_frame; do
+  for s in drive_overfit audit prof_eval bench bench_stage1 raster_parity bench_frame drive_parity; do
     tail -1 /tmp/q_${s}.log 2>/dev/null | grep -q "^QUEUE_STEP_DONE" || all_done=0
   done
   [ $all_done -eq 1 ] && break
