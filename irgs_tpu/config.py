@@ -65,20 +65,23 @@ class PipelineConfig:
     tracer_max_hits: int = 40
     # TILED select (ops/grid_tracer.py select_hits_tiled): candidates
     # examined in tile-wide contiguous row-gathers of the pair-ordered
-    # table — 32 tiles x 16 = 512 candidates/segment at ~3.6 ns/candidate
-    # (vs ~18 ns per-candidate random rows). Tuned on the dense stress
-    # scene vs the exact oracle (tools/audit_train_budget.py): examining
-    # 512 candidates + seg3/f0.25 drops training-path mean|dcolor|
-    # 0.168 -> ~0.012 (BASELINE.md round 3); the per-candidate prefilter
-    # variant measured 10.6x slower at scale (random flat gathers).
-    tracer_select_tiles: int = 32
+    # table — one gather row per 16 candidates at ~3.6 ns/candidate
+    # (vs ~18 ns per-candidate random rows; the per-candidate prefilter
+    # variant measured 10.6x slower at scale). Budgets tuned on the dense
+    # stress scene vs the exact oracle (tools/audit_train_budget.py):
+    # aligned tile covers waste lanes on partial tiles, so 48 tiles
+    # (768 lanes ≈ 512 effective candidates) + seg4/f0.25 brings the
+    # training-path bias to mean|dcolor| 2e-5 / frac(>0.05) 0.000 —
+    # vs 0.028/0.227 at 32 tiles seg3 and 0.012/0.072 for the round-3
+    # prefilter512 config (BASELINE.md round 3 continued).
+    tracer_select_tiles: int = 48
     tracer_tile: int = 16
     tracer_prefilter_width: int = 0
     tracer_hit_budget: int = 16
     tracer_max_crossings: int = 24
     # segmented re-trace (≙ the OptiX raygen's per-segment loop,
     # gaussiantrace_forward.cu:27-103); 1 = off
-    tracer_n_segments: int = 3
+    tracer_n_segments: int = 4
     tracer_retrace_frac: float = 0.25
     # EVAL budgets: the 512+256-spp eval path pays wide candidate budgets +
     # deeper re-trace for near-oracle fidelity (|dcolor| < 2e-3 vs the

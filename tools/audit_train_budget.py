@@ -9,6 +9,7 @@ regime). Prints the |dcolor|/|dalpha| rows for BASELINE.md.
 
 Run solo on the TPU:  python tools/audit_train_budget.py
 """
+import argparse
 import dataclasses
 import os
 import sys
@@ -16,6 +17,19 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 import jax
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--cpu", action="store_true",
+                help="force the CPU backend: bias is SEMANTIC (budget "
+                     "truncation), so the numbers are hardware-independent "
+                     "— usable during TPU outages")
+ap.add_argument("--n_rays", type=int, default=512)
+ap.add_argument("--full", action="store_true",
+                help="also run the tuning-ladder variants")
+args = ap.parse_args()
+if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -26,7 +40,7 @@ from irgs_tpu.render import ir
 from irgs_tpu.scene import toy
 from irgs_tpu.utils import math3d
 
-N_RAYS = 512
+N_RAYS = args.n_rays
 ORACLE_CHUNK = 64
 
 params, aux = toy.make_sphere_scene(n_surface=100_000, n_capacity=2 ** 17,
@@ -47,7 +61,7 @@ inputs = gt.TraceInputs(
     shs=params.get_features(), features=jnp.zeros((2 ** 17, 0)))
 
 
-CACHE = "/tmp/audit_oracle.npz"
+CACHE = f"/tmp/audit_oracle_{'cpu' if args.cpu else 'tpu'}_{N_RAYS}.npz"
 if os.path.exists(CACHE):
     z = np.load(CACHE)
     ref = gt.TraceOut(*[jnp.asarray(z[f]) for f in gt.TraceOut._fields])
@@ -78,7 +92,7 @@ variants = [
 ]
 # tuning ladder: what closes the bias, and what it costs (pair with a
 # bench.py run at the same budgets for the iter/s price)
-variants += [
+variants += [] if not args.full else [
     ("train +prefilter256", dataclasses.replace(
         train_tc, prefilter_width=256)),
     ("train +prefilter256 seg2/f0.25", dataclasses.replace(
