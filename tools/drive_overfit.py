@@ -1,4 +1,6 @@
 """Drive irgs_tpu's public API on the real TPU: render -> loss -> grad -> Adam."""
+import sys
+sys.path.insert(0, "/root/repo")
 import time
 import jax, jax.numpy as jnp, numpy as np, optax
 import irgs_tpu  # public package import
