@@ -99,6 +99,11 @@ class TracerConfig:
                                    # extraction instead of sorting all
                                    # select_tiles*tile lanes (exact same
                                    # hits and tie order; A/B on device)
+    pallas_gather: int = 0         # tiled select: gather pair-table rows
+                                   # with the latency-hiding Pallas DMA
+                                   # kernel (ops/gather_pallas.py) instead
+                                   # of XLA's serialized gather; value =
+                                   # copies kept in flight (0 = XLA)
     # coarse-occupancy DDA (empty-space skip + completeness check). Costs
     # ~40% of a narrow collect; it is what makes the eval re-trace loop
     # demand-proportional (escaping rays stop being flagged truncated).
@@ -863,7 +868,13 @@ def select_hits_tiled(ray_o, ray_d, grid: Grid, cells: Cells, pair_tab,
     row_idx = jnp.where(tile_valid, jnp.minimum(row_idx, n_rows - 1), 0)
 
     # ONE row gather: [R, ST] tile rows of 14·TILE floats
-    rows = pair_tab[row_idx]                              # [R, ST, 14*TILE]
+    if cfg.pallas_gather:
+        from irgs_tpu.ops.gather_pallas import gather_rows
+        rows = gather_rows(pair_tab, row_idx.reshape(-1),
+                           inflight=cfg.pallas_gather
+                           ).reshape(R, ST, pair_tab.shape[1])
+    else:
+        rows = pair_tab[row_idx]                          # [R, ST, 14*TILE]
     blocks = rows.reshape(R, ST, 14, TILE)
     cols = [blocks[:, :, i, :].reshape(R, S1) for i in range(13)]
     pair_cid = jax.lax.bitcast_convert_type(

@@ -98,6 +98,47 @@ for name, tc in (("eval", tc_eval), ("train", tc_train)):
     print(f"[{name}]   -> select ~{1e3*(d2-d1):.1f} ms, blend ~{1e3*(d3-d2):.1f} ms",
           flush=True)
 
+# component split of the SHIPPING TILED first pass (collect / +tiled-select
+# / +blend) — the loop above splits the OLD per-candidate select only
+from irgs_tpu.config import Config as _Cfg
+tc_ship = gt.TracerConfig.from_pipe(_Cfg().pipe, eval=True)
+pair_tab = gt.pack_pair_table(grid, inputs, tc_ship.tile)
+
+
+@jax.jit
+def step_collect_ship(st):
+    ro, _ = st
+    cells = gt.collect_cells(ro, rd0, grid, tc_ship)
+    sig = jnp.sum(cells.tin[:, 0]) * 1e-6
+    return perturb(ro, sig), sig
+
+
+@jax.jit
+def step_select_ship(st):
+    ro, _ = st
+    cells = gt.collect_cells(ro, rd0, grid, tc_ship)
+    hits = gt.select_hits_tiled(ro, rd0, grid, cells, pair_tab, tc_ship, False)
+    sig = jnp.sum(hits.t_last) * 1e-6
+    return perturb(ro, sig), sig
+
+
+@jax.jit
+def step_blend_ship(st):
+    ro, _ = st
+    cells = gt.collect_cells(ro, rd0, grid, tc_ship)
+    hits = gt.select_hits_tiled(ro, rd0, grid, cells, pair_tab, tc_ship, False)
+    out = gt.blend_hits(ro, rd0, inputs, hits.gs, hits.valid, tc_ship, 3)
+    sig = jnp.sum(out.alpha) * 1e-6
+    return perturb(ro, sig), sig
+
+
+st0 = (ro0, jnp.float32(0))
+d1 = bench_chain(step_collect_ship, st0, tag="[SHIP_eval pass1] collect")
+d2 = bench_chain(step_select_ship, st0, tag="[SHIP_eval pass1] +tiled select")
+d3 = bench_chain(step_blend_ship, st0, tag="[SHIP_eval pass1] +blend")
+print(f"[SHIP_eval pass1] -> tiled select ~{1e3*(d2-d1):.1f} ms, "
+      f"blend ~{1e3*(d3-d2):.1f} ms", flush=True)
+
 # full production trace_fn at 2^16 rays, chained
 from irgs_tpu.render import ir
 R2 = 2**16

@@ -105,3 +105,45 @@ def step(a):
 dt = bench_chain(step, a0)
 print(f"matmul 4096^3 f32 (+norm): {dt*1e3:.2f} ms {2*4096**3/dt/1e12:.1f} TFLOP/s",
       flush=True)
+
+# Pallas DMA row-gather (ops/gather_pallas.py) vs XLA gather, at the tiled
+# select's shipping shapes: 14*TILE-float rows (TILE=16 -> width 224),
+# rows = R * select_tiles.
+from irgs_tpu.ops.gather_pallas import gather_rows
+
+for width in (224, 896):
+    kt, ki = jax.random.split(jax.random.fold_in(key, 9000 + width))
+    table = jax.random.normal(kt, (N, width), jnp.float32)
+    for rows in (2 ** 16, 2 ** 18):
+        if rows * width > 2 ** 27:
+            continue
+        idx0 = jax.random.randint(ki, (rows,), 0, N)
+
+        @jax.jit
+        def step_xla(idx, table=table):
+            s = jnp.sum(table[idx], axis=-1)
+            return (idx + (s > 0).astype(jnp.int32)) % N
+
+        dt = bench_chain(step_xla, idx0)
+        print(f"XLA    row gather w={width:4d} rows={rows:7d}: {dt*1e3:7.2f} ms "
+              f"{rows/dt/1e6:8.2f} Mrows/s  {rows*width*4/1e9/dt:7.2f} GB/s",
+              flush=True)
+
+        for infl in (4, 8, 16, 32):
+            for br in (256, 1024):
+                @jax.jit
+                def step_pl(idx, table=table, infl=infl, br=br):
+                    s = jnp.sum(gather_rows(table, idx, block_rows=br,
+                                            inflight=infl), axis=-1)
+                    return (idx + (s > 0).astype(jnp.int32)) % N
+
+                try:
+                    dt = bench_chain(step_pl, idx0)
+                except Exception as e:  # noqa: BLE001
+                    print(f"pallas gather w={width} rows={rows} infl={infl} "
+                          f"br={br}: FAILED {type(e).__name__}", flush=True)
+                    continue
+                print(f"PALLAS row gather w={width:4d} rows={rows:7d} "
+                      f"infl={infl:2d} br={br:4d}: {dt*1e3:7.2f} ms "
+                      f"{rows/dt/1e6:8.2f} Mrows/s  "
+                      f"{rows*width*4/1e9/dt:7.2f} GB/s", flush=True)
