@@ -76,6 +76,10 @@ class PipelineConfig:
     # prefilter512 config (BASELINE.md round 3 continued).
     tracer_select_tiles: int = 48
     tracer_tile: int = 16
+    # direct (unpacked) tiled select: collect hands the DDA segment list to
+    # the tiled select as-is, skipping its compaction sort + one-hot einsum
+    # and removing the max_cells truncation source entirely
+    tracer_tiled_direct: bool = False
     tracer_prefilter_width: int = 0
     tracer_hit_budget: int = 16
     tracer_max_crossings: int = 24

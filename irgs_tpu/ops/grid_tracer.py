@@ -104,6 +104,12 @@ class TracerConfig:
                                    # kernel (ops/gather_pallas.py) instead
                                    # of XLA's serialized gather; value =
                                    # copies kept in flight (0 = XLA)
+    tiled_direct: bool = False     # tiled select reads the DDA's segment
+                                   # list UNPACKED: collect skips its
+                                   # compaction sort + one-hot einsum (the
+                                   # dominant non-gather collect cost) and
+                                   # max_cells stops truncating — the tile
+                                   # budget (select_tiles) is the only cap
     # coarse-occupancy DDA (empty-space skip + completeness check). Costs
     # ~40% of a narrow collect; it is what makes the eval re-trace loop
     # demand-proportional (escaping rays stop being flagged truncated).
@@ -181,6 +187,7 @@ class TracerConfig:
                 retrace_select_tiles=getattr(
                     pipe, "tracer_retrace_select_tiles_eval", 0),
                 tile=getattr(pipe, "tracer_tile", 16),
+                tiled_direct=getattr(pipe, "tracer_tiled_direct", False),
                 hit_budget=pipe.tracer_hit_budget_eval,
                 max_crossings=pipe.tracer_max_crossings_eval,
                 n_segments=pipe.tracer_n_segments_eval,
@@ -205,6 +212,7 @@ class TracerConfig:
             prefilter_width=getattr(pipe, "tracer_prefilter_width", 0),
             select_tiles=getattr(pipe, "tracer_select_tiles", 0),
             tile=getattr(pipe, "tracer_tile", 16),
+            tiled_direct=getattr(pipe, "tracer_tiled_direct", False),
             hit_budget=pipe.tracer_hit_budget,
             max_crossings=pipe.tracer_max_crossings,
             n_segments=pipe.tracer_n_segments,
@@ -721,6 +729,17 @@ def collect_cells(ray_o, ray_d, grid: Grid, cfg: TracerConfig,
     # bits), so (start, count) ride the pack sort as ONE int32 payload
     meta_v = jnp.where(seg_valid & ((meta & _COUNT_MASK) > 0), meta, 0)
 
+    if cfg.select_tiles > 0 and cfg.tiled_direct:
+        # DIRECT mode: hand the tiled select the segment list as-is —
+        # interior empty segments cost it nothing (zero tiles), so the
+        # compaction sort + one-hot einsum below are pure overhead, and
+        # with no max_cells cap the crossing-budget horizon becomes the
+        # only truncation source
+        starts_all, counts_all = unpack_cell_meta(meta_v)
+        resume = jnp.where(incomplete, horizon, 0.0)
+        return Cells(starts_all, counts_all, t_in_j, t_out_j, incomplete,
+                     resume)
+
     # pack the first max_cells non-empty segments per ray. The sort key IS
     # the segment position, so payloads are redundant: sort ONE operand
     # (4x less sort traffic than carrying meta/t_in/t_out through every
@@ -789,11 +808,14 @@ def pack_pair_table(grid: Grid, inputs: TraceInputs, tile: int = 16):
 
 
 def _pair_tab_from_geom(grid: Grid, geom, tile: int = 16):
-    """[ceil(P/tile), 14·tile] TILE-ROW candidate table: tile t's row holds
-    the 14 components (13 geometry + bitcast cell id) of pairs
-    [t·tile, (t+1)·tile), component-major. The tiled select gathers whole
-    rows — the one gather shape this backend runs at full rate (per-row
-    latency ~6 ns); lane-dim dynamic slices measured 1.4 µs each."""
+    """[ceil(P/tile), pad128(14·tile)] TILE-ROW candidate table: tile t's
+    row holds the 14 components (13 geometry + bitcast cell id) of pairs
+    [t·tile, (t+1)·tile), component-major, padded to a 128-lane multiple.
+    The tiled select gathers whole rows — the one gather shape this backend
+    runs at full rate, PROVIDED the row width is lane-aligned: a gather on
+    224-float rows measured 40x slower than on 256-float rows (the (8,128)
+    tiling makes unaligned row starts straddle tiles; tools/_prof_gather*).
+    """
     sg = grid.sorted_gauss
     rows = [geom[:, i][sg] for i in range(13)]
     rows.append(jax.lax.bitcast_convert_type(grid.sorted_cell, jnp.float32))
@@ -802,7 +824,9 @@ def _pair_tab_from_geom(grid: Grid, geom, tile: int = 16):
     pad = (-P) % tile
     tab = jnp.pad(tab, ((0, 0), (0, pad)))
     T = (P + pad) // tile
-    return tab.reshape(14, T, tile).transpose(1, 0, 2).reshape(T, 14 * tile)
+    tab = tab.reshape(14, T, tile).transpose(1, 0, 2).reshape(T, 14 * tile)
+    wpad = (-(14 * tile)) % 128
+    return jnp.pad(tab, ((0, 0), (0, wpad))) if wpad else tab
 
 
 def select_hits_tiled(ray_o, ray_d, grid: Grid, cells: Cells, pair_tab,
@@ -830,16 +854,19 @@ def select_hits_tiled(ray_o, ray_d, grid: Grid, cells: Cells, pair_tab,
 
     starts, counts, tout = cells.starts, cells.counts, cells.tout
     if cand_skip is not None:
-        # skip whole ALIGNED tiles of the first cell (examined last segment);
-        # the residue start % TILE is unchanged, so tile chaining is exact
-        skip0 = jnp.minimum(
-            cand_skip,
-            (starts[:, 0] % TILE + counts[:, 0] + TILE - 1) // TILE)
-        adv = jnp.minimum(skip0 * TILE - starts[:, 0] % TILE * (skip0 > 0),
-                          counts[:, 0])
+        # skip whole ALIGNED tiles of the FIRST NON-EMPTY cell (examined
+        # last segment); the residue start % TILE is unchanged, so tile
+        # chaining is exact. Masked form: in direct (unpacked) mode the
+        # first non-empty segment can sit at any index.
+        ne = counts > 0
+        fne = ne & (jnp.cumsum(ne.astype(jnp.int32), axis=-1) == 1)  # [R, C]
+        s0 = jnp.sum(jnp.where(fne, starts, 0), axis=-1)
+        c0 = jnp.sum(jnp.where(fne, counts, 0), axis=-1)
+        skip0 = jnp.minimum(cand_skip, (s0 % TILE + c0 + TILE - 1) // TILE)
+        adv = jnp.minimum(skip0 * TILE - s0 % TILE * (skip0 > 0), c0)
         adv = jnp.maximum(adv, 0)
-        starts = starts.at[:, 0].add(adv)
-        counts = counts.at[:, 0].add(-adv)
+        starts = jnp.where(fne, starts + adv[:, None], starts)
+        counts = jnp.where(fne, counts - adv[:, None], counts)
 
     # ALIGNED tile cover of each cell's pair range [start, start+count):
     # first tile = start//TILE, lanes outside the range masked per element —
@@ -867,15 +894,15 @@ def select_hits_tiled(ray_o, ray_d, grid: Grid, cells: Cells, pair_tab,
     n_rows = pair_tab.shape[0]
     row_idx = jnp.where(tile_valid, jnp.minimum(row_idx, n_rows - 1), 0)
 
-    # ONE row gather: [R, ST] tile rows of 14·TILE floats
+    # ONE row gather: [R, ST] tile rows of pad128(14·TILE) floats
     if cfg.pallas_gather:
         from irgs_tpu.ops.gather_pallas import gather_rows
         rows = gather_rows(pair_tab, row_idx.reshape(-1),
                            inflight=cfg.pallas_gather
                            ).reshape(R, ST, pair_tab.shape[1])
     else:
-        rows = pair_tab[row_idx]                          # [R, ST, 14*TILE]
-    blocks = rows.reshape(R, ST, 14, TILE)
+        rows = pair_tab[row_idx]                   # [R, ST, pad128(14*TILE)]
+    blocks = rows[..., :14 * TILE].reshape(R, ST, 14, TILE)
     cols = [blocks[:, :, i, :].reshape(R, S1) for i in range(13)]
     pair_cid = jax.lax.bitcast_convert_type(
         blocks[:, :, 13, :], jnp.int32).reshape(R, S1)

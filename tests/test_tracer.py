@@ -335,7 +335,7 @@ def test_tiled_select_coplanar_tie_order(topk):
     alive = jnp.ones(n, bool)
     cfgt = gt.TracerConfig(grid_res=8, pair_capacity=2 ** 12, max_cells=8,
                            span_cap=8, select_tiles=4, tile=8, hit_budget=8,
-                           select_topk=topk)
+                           select_topk=topk, tiled_direct=topk)
     grid = gt.build_grid(inputs.means3d,
                          gt.bounding_radius(inputs.opacity,
                                             jnp.full((n, 2), 1 / 8.0),
@@ -405,16 +405,18 @@ def test_two_tier_gradients_match_oracle(setup):
                                    atol=2e-4, err_msg=name)
 
 
-@pytest.mark.parametrize("topk", [False, True])
-def test_tiled_select_matches_brute_force(setup, topk):
+@pytest.mark.parametrize("topk,direct", [(False, False), (True, False),
+                                         (False, True), (True, True)])
+def test_tiled_select_matches_brute_force(setup, topk, direct):
     """Tiled select (contiguous tile-block gathers + hit-cell dedup) must
     stay oracle-exact through the segmented re-trace — in both k-buffer
-    extraction modes (full two-key sort / stable top_k)."""
+    extraction modes (full two-key sort / stable top_k) and in both
+    segment-list modes (packed max_cells / direct unpacked)."""
     inputs, alive, grid, rays_o, rays_d = setup
     cfgt = gt.TracerConfig(
         grid_res=16, pair_capacity=2 ** 15, max_cells=48, span_cap=8,
         select_tiles=8, tile=64, hit_budget=32, select_topk=topk,
-        n_segments=8, retrace_frac=1.0)
+        tiled_direct=direct, n_segments=8, retrace_frac=1.0)
     out = gt.trace_segments(rays_o, rays_d, grid, inputs,
                             cfg=cfgt, sh_deg=3)
     ref = gt.trace_reference(rays_o, rays_d, inputs, alive, sh_deg=3,
@@ -425,11 +427,12 @@ def test_tiled_select_matches_brute_force(setup, topk):
     np.testing.assert_allclose(out.normal, ref.normal, atol=3e-5)
 
 
-def test_tiled_select_gradients_match_oracle(setup):
+@pytest.mark.parametrize("direct", [False, True])
+def test_tiled_select_gradients_match_oracle(setup, direct):
     inputs, alive, grid, rays_o, rays_d = setup
     cfgt = gt.TracerConfig(
         grid_res=16, pair_capacity=2 ** 15, max_cells=48, span_cap=8,
-        select_tiles=8, tile=64, hit_budget=48,
+        select_tiles=8, tile=64, hit_budget=48, tiled_direct=direct,
         n_segments=8, retrace_frac=1.0)
 
     def loss(ins, ro, rd, fn):

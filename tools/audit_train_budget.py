@@ -26,6 +26,10 @@ ap.add_argument("--cpu", action="store_true",
 ap.add_argument("--n_rays", type=int, default=512)
 ap.add_argument("--full", action="store_true",
                 help="also run the tuning-ladder variants")
+ap.add_argument("--tile64", action="store_true",
+                help="run the 64-candidate-tile ladder (4KB aligned gather "
+                     "rows: 3-4x fewer gather rows per ray at equal "
+                     "candidate coverage)")
 args = ap.parse_args()
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
@@ -104,6 +108,15 @@ variants += [] if not args.full else [
     ("eval +prefilter512/r2048 seg8", dataclasses.replace(
         eval_tc, prefilter_width=512, retrace_prefilter_width=2048,
         n_segments=8)),
+]
+variants += [] if not args.tile64 else [
+    (f"train tile64 x{st}", dataclasses.replace(
+        train_tc, tile=64, select_tiles=st, retrace_select_tiles=st))
+    for st in (10, 12, 16)
+] + [
+    (f"eval tile64 x{st}/r{rt}", dataclasses.replace(
+        eval_tc, tile=64, select_tiles=st, retrace_select_tiles=rt))
+    for st, rt in ((12, 24), (16, 24), (16, 32))
 ]
 for name, tc in variants:
     grid = gt.build_grid_from_gaussians(params, aux, tc)
