@@ -65,21 +65,21 @@ class PipelineConfig:
     tracer_max_hits: int = 40
     # TILED select (ops/grid_tracer.py select_hits_tiled): candidates
     # examined in tile-wide contiguous row-gathers of the pair-ordered
-    # table — one gather row per 16 candidates at ~3.6 ns/candidate
-    # (vs ~18 ns per-candidate random rows; the per-candidate prefilter
-    # variant measured 10.6x slower at scale). Budgets tuned on the dense
-    # stress scene vs the exact oracle (tools/audit_train_budget.py):
-    # aligned tile covers waste lanes on partial tiles, so 48 tiles
-    # (768 lanes ≈ 512 effective candidates) + seg4/f0.25 brings the
-    # training-path bias to mean|dcolor| 2e-5 / frac(>0.05) 0.000 —
-    # vs 0.028/0.227 at 32 tiles seg3 and 0.012/0.072 for the round-3
-    # prefilter512 config (BASELINE.md round 3 continued).
-    tracer_select_tiles: int = 48
-    tracer_tile: int = 16
+    # table — one gather row per `tile` candidates instead of one per
+    # candidate (the per-candidate prefilter variant measured 10.6x slower
+    # at scale). Tile-width ladder on device (tools/_prof_tile_width.py):
+    # 32-wide tiles halve gather rows at equal lane coverage and DIRECT
+    # segment-list mode skips collect's compaction sort — together
+    # 97 -> 76 ms per 32k-ray pass-1 at eval budgets; 64-wide regressed.
+    # Budgets tuned on the dense stress scene vs the exact oracle
+    # (tools/audit_train_budget.py): 24x32 = 768 lanes + seg4/f0.25 keeps
+    # the training-path bias at mean|dcolor| ~1e-4 / frac(>0.05) 0.000.
+    tracer_select_tiles: int = 24
+    tracer_tile: int = 32
     # direct (unpacked) tiled select: collect hands the DDA segment list to
     # the tiled select as-is, skipping its compaction sort + one-hot einsum
     # and removing the max_cells truncation source entirely
-    tracer_tiled_direct: bool = False
+    tracer_tiled_direct: bool = True
     tracer_prefilter_width: int = 0
     tracer_hit_budget: int = 16
     tracer_max_crossings: int = 24
@@ -97,10 +97,10 @@ class PipelineConfig:
     # _coarse_scan) keeps escaping rays out of the re-trace set.
     tracer_max_cells_eval: int = 16
     tracer_max_hits_eval: int = 48
-    # tiled widths: lean first pass 48x16 = 768 candidates, wide re-trace
-    # rounds 96x16 = 1536
-    tracer_select_tiles_eval: int = 48
-    tracer_retrace_select_tiles_eval: int = 96
+    # tiled widths: lean first pass 24x32 = 768 candidates, wide re-trace
+    # rounds 48x32 = 1536
+    tracer_select_tiles_eval: int = 24
+    tracer_retrace_select_tiles_eval: int = 48
     tracer_prefilter_width_eval: int = 0
     tracer_retrace_prefilter_width_eval: int = 0
     tracer_hit_budget_eval: int = 24

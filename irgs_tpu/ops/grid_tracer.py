@@ -940,6 +940,33 @@ def select_hits_tiled(ray_o, ray_d, grid: Grid, cells: Cells, pair_tab,
 
     pair_pos = pos3.reshape(R, S1)
     d_key = jnp.where(accept, d, INF)
+    n_accepted = jnp.sum(accept, axis=-1)
+    # --- tile-budget bookkeeping (needed BEFORE the k-buffer extraction:
+    # the partial-cell blend cap below filters the kept hits) -------------
+    more = ((n_accepted > kb)
+            | (cumT[:, -1] > ST)
+            | cells.truncated)
+    fully = (cumT <= ST) & (counts > 0)
+    tout_frontier = jnp.max(jnp.where(fully, tout, 0.0), axis=-1)
+    all_ex = cumT[:, -1] <= ST
+    frontier = jnp.where(all_ex,
+                         jnp.maximum(tout_frontier, cells.resume),
+                         tout_frontier)
+    overflowed = n_accepted > kb
+    nT_before = jnp.max(jnp.where(fully, cumT, 0), axis=-1)
+    # budget died MID-CELL (some cells fully examined, one partial): within
+    # a cell, pair order is gaussian-id order, NOT depth order, so the
+    # partial cell's unexamined suffix can hold hits NEARER than t_last —
+    # resuming acceptance at t_last would lose them forever (measured:
+    # 2/256 dense-stress rays under-blended at tile=32). Exact rule:
+    #  * keep this round's hits and resume at t_last ONLY when the k-buffer
+    #    overflowed before the frontier (everything dropped is >= t_last,
+    #    and every unexamined-suffix hit is >= frontier >= t_last);
+    #  * otherwise blend ONLY hits from fully-examined cells (d < frontier
+    #    — when not overflowed nothing below the frontier was dropped, and
+    #    when overflowed with t_last > frontier every accepted d < frontier
+    #    hit is among the kb nearest) and resume collection AND acceptance
+    #    at the frontier; the partial cell re-runs whole next round.
     if cfg.select_topk:
         # only the kb nearest survive, so a top-k beats sorting all S1
         # lanes. top_k is stable (equal keys -> lower index first) and
@@ -957,34 +984,53 @@ def select_hits_tiled(ray_o, ray_d, grid: Grid, cells: Cells, pair_tab,
                             pair_pos.astype(jnp.float32)).astype(jnp.int32)
         valid_kb = d_kb < INF
         gs_kb = grid.sorted_gauss[jnp.clip(pos_kb, 0, P - 1)]
-        t_last = jnp.max(jnp.where(valid_kb, d_kb, 0.0), axis=-1)
     else:
         d_s, pos_s = jax.lax.sort((d_key, pair_pos), num_keys=2,
                                   dimension=-1, is_stable=False)
-        valid_kb = d_s[:, :kb] < INF
+        d_kb = d_s[:, :kb]
+        valid_kb = d_kb < INF
         gs_kb = grid.sorted_gauss[jnp.clip(pos_s[:, :kb], 0, P - 1)]
-        t_last = jnp.max(jnp.where(valid_kb, d_s[:, :kb], 0.0), axis=-1)
-    n_accepted = jnp.sum(accept, axis=-1)
+    t_last_raw = jnp.max(jnp.where(valid_kb, d_kb, 0.0), axis=-1)
 
-    # re-trace bookkeeping, in TILE units (cells are examined tile-atomically)
-    more = ((n_accepted > kb)
-            | (cumT[:, -1] > ST)
-            | cells.truncated)
-    fully = (cumT <= ST) & (counts > 0)
-    tout_frontier = jnp.max(jnp.where(fully, tout, 0.0), axis=-1)
-    all_ex = cumT[:, -1] <= ST
-    frontier = jnp.where(all_ex,
-                         jnp.maximum(tout_frontier, cells.resume),
-                         tout_frontier)
-    overflowed = n_accepted > kb
-    t_cell = jnp.where(overflowed, t_last, jnp.maximum(t_last, frontier))
-    nT_before = jnp.max(jnp.where(fully, cumT, 0), axis=-1)
-    skip_next = jnp.where(overflowed | all_ex, 0,
-                          jnp.maximum(ST - nT_before, 0))
-    skip_next = jnp.where(t_cell > frontier, 0, skip_next)
+    # Exact partial-cell handling. The returned t_last is the ACCEPTANCE
+    # WATERMARK (the re-trace accepts only d just past it), so it must
+    # never exceed a depth below which everything has been examined AND
+    # blended:
+    #  * keep this round's hits and resume at t_last_raw when the k-buffer
+    #    overflowed at or before the frontier — everything dropped is
+    #    >= t_last_raw, and every unexamined-suffix hit of the partial
+    #    cell is >= frontier >= t_last_raw;
+    #  * otherwise, when the budget died mid-cell (part), blend ONLY hits
+    #    from fully-examined cells (d < frontier: when not overflowed
+    #    nothing below the frontier was dropped, and when overflowed with
+    #    t_last_raw > frontier every accepted d < frontier hit is among
+    #    the kb nearest) — the partial cell re-runs whole next round;
+    #  * when a SINGLE cell exceeds the whole tile budget (starv), blend
+    #    the examined prefix but keep the watermark at the incoming
+    #    t_start so the unexamined suffix (pair order is gaussian-id
+    #    order, not depth order — suffix hits can be NEARER than
+    #    t_last_raw) is never skipped; cand_skip chains the prefix tiles.
+    #    (If the k-buffer ALSO overflowed there, fixed capacity forces the
+    #    lossy t_last_raw resume — dropped prefix hits win over suffix.)
+    part = ~all_ex & (nT_before > 0)
+    starv = ~all_ex & (nT_before == 0)
+    keep_all = ~part | (overflowed & (t_last_raw <= frontier))
+    valid_kb = valid_kb & (keep_all[:, None] | (d_kb < frontier[:, None]))
+    t_last_blend = jnp.max(jnp.where(valid_kb, d_kb, 0.0), axis=-1)
+    t_in0 = (t_start if t_start is not None
+             else jnp.zeros_like(t_last_raw))
+    t_last = jnp.where(all_ex | (part & keep_all) | (starv & overflowed),
+                       t_last_raw,
+                       jnp.where(part, t_last_blend, t_in0))
+    t_cell = jnp.where(
+        all_ex,
+        jnp.where(overflowed, t_last_raw, jnp.maximum(t_last_raw, frontier)),
+        jnp.where(part,
+                  jnp.where(keep_all, t_last_raw, frontier),
+                  jnp.where(overflowed, t_last_raw, t_in0)))
+    skip_next = jnp.where(starv & ~overflowed, ST, 0)
     if cand_skip is not None:
-        same_cell = ~overflowed & ~all_ex & (nT_before == 0)
-        skip_next = skip_next + jnp.where(same_cell, skip0, 0)
+        skip_next = skip_next + jnp.where(starv & ~overflowed, skip0, 0)
     return SelectedHits(gs_kb, valid_kb, t_last, t_cell, more, skip_next)
 
 
@@ -1199,11 +1245,18 @@ def blend_hits(ray_o, ray_d, inputs: TraceInputs, gs_s, valid_s,
     sh_flat = inputs.shs[:, :n_coeff].reshape(n, n_coeff * 3)
     table = jnp.concatenate([_pack_geom(inputs), sh_flat, inputs.features],
                             axis=-1)
-    rows = table[gs_s]                                    # [R, kb, 13+3C+S]
+    # lane-align the fused rows: a gather on rows that straddle (8,128)
+    # tiles collapses up to 40x (tools/_prof_gather.py; same fix as the
+    # pair table) — and the VJP's row-scatter is alignment-bound too
+    wpad = (-table.shape[1]) % 128
+    if wpad:
+        table = jnp.pad(table, ((0, 0), (0, wpad)))
+    rows = table[gs_s]                                    # [R, kb, pad128]
     geom_g = rows[..., 0:13]
     sh_g = rows[..., 13:13 + 3 * n_coeff].reshape(
         gs_s.shape + (n_coeff, 3))
-    feat = rows[..., 13 + 3 * n_coeff:]
+    feat = rows[..., 13 + 3 * n_coeff:
+                13 + 3 * n_coeff + inputs.features.shape[-1]]
     alpha, n_flip, d = _hit_geom(
         geom_g[..., 0:3], geom_g[..., 3], geom_g[..., 4:7], geom_g[..., 7:10],
         geom_g[..., 10:13], ray_o[:, None], ray_d[:, None])

@@ -96,13 +96,12 @@ def from_configs(cfg, img_w: int, img_h: int, active_sh_degree: int = 3) -> Stag
         wo_indirect=p.wo_indirect, detach_indirect=p.detach_indirect,
         white_background=m.white_background,
         dup_capacity=p.dup_capacity or 2 ** 21,
-        tracer=gt.TracerConfig(
-            grid_res=p.tracer_grid_res, max_cells=p.tracer_max_cells,
-            max_hits=p.tracer_max_hits, hit_budget=p.tracer_hit_budget,
-            max_crossings=p.tracer_max_crossings,
-            transmittance_min=p.transmittance_min, alpha_min=p.alpha_min,
-            n_segments=p.tracer_n_segments,
-            retrace_frac=p.tracer_retrace_frac),
+        # ONE construction path for the training tracer config: from_pipe
+        # carries the tiled-select fields (select_tiles/tile/tiled_direct)
+        # that the audited shipping budgets rely on — building TracerConfig
+        # field-by-field here silently dropped them and the trainer ran the
+        # old per-candidate select at badly truncated budgets
+        tracer=gt.TracerConfig.from_pipe(p),
         lambda_dssim=o.lambda_dssim, lambda_dist=o.lambda_dist,
         lambda_normal_render_depth=o.lambda_normal_render_depth,
         lambda_normal_smooth=o.lambda_normal_smooth,

@@ -69,6 +69,10 @@ VARIANTS = [
     ("t64x16 dir+topk", dataclasses.replace(base, tile=64, select_tiles=16,
                                             tiled_direct=True,
                                             select_topk=True)),
+    ("t128x6 direct", dataclasses.replace(base, tile=128, select_tiles=6,
+                                          tiled_direct=True)),
+    ("t128x8 direct", dataclasses.replace(base, tile=128, select_tiles=8,
+                                          tiled_direct=True)),
 ]
 
 grid = gt.build_grid_from_gaussians(params, aux, base)

@@ -30,6 +30,11 @@ ap.add_argument("--tile64", action="store_true",
                 help="run the 64-candidate-tile ladder (4KB aligned gather "
                      "rows: 3-4x fewer gather rows per ray at equal "
                      "candidate coverage)")
+ap.add_argument("--only", type=str, default="",
+                help="run only variants whose name contains this substring")
+ap.add_argument("--t32", action="store_true",
+                help="repair ladder for the t32-direct defaults: more "
+                     "tiles / more segments to recover oracle-exactness")
 args = ap.parse_args()
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
@@ -109,6 +114,20 @@ variants += [] if not args.full else [
         eval_tc, prefilter_width=512, retrace_prefilter_width=2048,
         n_segments=8)),
 ]
+variants += [] if not args.t32 else [
+    ("train t32x24 seg5", dataclasses.replace(train_tc, n_segments=5)),
+    ("train t32x28 seg4", dataclasses.replace(
+        train_tc, select_tiles=28, retrace_select_tiles=28)),
+    ("train t32x24 seg4/f0.375", dataclasses.replace(
+        train_tc, retrace_frac=0.375)),
+    ("eval t32x24/r48 seg5", dataclasses.replace(eval_tc, n_segments=5)),
+    ("eval t32x28/r48 seg4", dataclasses.replace(eval_tc, select_tiles=28)),
+    # isolate: is the residual bias from DIRECT mode or from tile=32?
+    ("train t16x48 direct", dataclasses.replace(
+        train_tc, tile=16, select_tiles=48, retrace_select_tiles=48)),
+    ("train t32x24 packed", dataclasses.replace(
+        train_tc, tiled_direct=False)),
+]
 variants += [] if not args.tile64 else [
     (f"train tile64 x{st}", dataclasses.replace(
         train_tc, tile=64, select_tiles=st, retrace_select_tiles=st))
@@ -118,6 +137,8 @@ variants += [] if not args.tile64 else [
         eval_tc, tile=64, select_tiles=st, retrace_select_tiles=rt))
     for st, rt in ((12, 24), (16, 24), (16, 32))
 ]
+if args.only:
+    variants = [(n, tc) for n, tc in variants if args.only in n]
 for name, tc in variants:
     grid = gt.build_grid_from_gaussians(params, aux, tc)
     tf = ir.make_trace_fn(params, aux, grid, tc, jnp.zeros(3), 3)

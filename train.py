@@ -118,18 +118,15 @@ def main():
                 env_resolution=cfg.model.envmap_resolution)
         cams = toy.make_ring_cameras(toy_cams, width=toy_res, height_px=toy_res)
         # ground truth from the true scene; then reset materials
+        import dataclasses
         from irgs_tpu.render.eval import EvalConfig, render_ir_eval
         ecfg = EvalConfig(img_w=toy_res, img_h=toy_res,
                           diffuse_sample_num=toy_spp,
                           light_sample_num=0,
                           dup_capacity=2 ** 16 if on_cpu else 2 ** 21,
-                          tracer=gt.TracerConfig(
-                              grid_res=cfg.pipe.tracer_grid_res,
-                              pair_capacity=2 ** 16 if on_cpu else 2 ** 21,
-                              max_cells=cfg.pipe.tracer_max_cells,
-                              max_hits=cfg.pipe.tracer_max_hits,
-                              hit_budget=cfg.pipe.tracer_hit_budget,
-                              max_crossings=cfg.pipe.tracer_max_crossings))
+                          tracer=dataclasses.replace(
+                              gt.TracerConfig.from_pipe(cfg.pipe, eval=True),
+                              pair_capacity=2 ** 16 if on_cpu else 2 ** 21))
         grid = gt.build_grid_from_gaussians(params, aux, ecfg.tracer)
         render_j = jax.jit(lambda c: render_ir_eval(params, aux, grid, c, ecfg))
         gt_images = [np.asarray(render_j(c.params())["render"]) for c in cams]
