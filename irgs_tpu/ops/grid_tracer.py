@@ -817,14 +817,20 @@ def _pair_tab_from_geom(grid: Grid, geom, tile: int = 16):
     tiling makes unaligned row starts straddle tiles; tools/_prof_gather*).
     """
     sg = grid.sorted_gauss
-    rows = [geom[:, i][sg] for i in range(13)]
-    rows.append(jax.lax.bitcast_convert_type(grid.sorted_cell, jnp.float32))
-    tab = jnp.stack(rows, axis=0)                          # [14, P]
-    P = tab.shape[1]
+    # the build runs EVERY training step (geometry moves): one aligned
+    # row-gather from a 128-padded copy of the geometry table instead of
+    # 13 per-component element gathers (26M scalar gathers = 385 ms/step
+    # at the bench workload; the padded row-gather moves 10x the bytes but
+    # runs at the per-row rate — tools/_prof_train_split.py)
+    gp = jnp.pad(geom, ((0, 0), (0, 128 - geom.shape[1])))
+    rows = gp[sg][:, :13]                                  # [P, 13]
+    cellf = jax.lax.bitcast_convert_type(grid.sorted_cell, jnp.float32)
+    tab = jnp.concatenate([rows, cellf[:, None]], axis=-1)  # [P, 14]
+    P = tab.shape[0]
     pad = (-P) % tile
-    tab = jnp.pad(tab, ((0, 0), (0, pad)))
+    tab = jnp.pad(tab, ((0, pad), (0, 0)))
     T = (P + pad) // tile
-    tab = tab.reshape(14, T, tile).transpose(1, 0, 2).reshape(T, 14 * tile)
+    tab = tab.reshape(T, tile, 14).transpose(0, 2, 1).reshape(T, 14 * tile)
     wpad = (-(14 * tile)) % 128
     return jnp.pad(tab, ((0, 0), (0, wpad))) if wpad else tab
 

@@ -127,6 +127,16 @@ variants += [] if not args.t32 else [
         train_tc, tile=16, select_tiles=48, retrace_select_tiles=48)),
     ("train t32x24 packed", dataclasses.replace(
         train_tc, tiled_direct=False)),
+    # cheaper segment schedules under the partial-cell watermark fix
+    ("train seg3", dataclasses.replace(train_tc, n_segments=3)),
+    ("train seg2", dataclasses.replace(train_tc, n_segments=2)),
+    ("train st16 seg5", dataclasses.replace(
+        train_tc, select_tiles=16, retrace_select_tiles=16, n_segments=5)),
+    ("eval seg3", dataclasses.replace(eval_tc, n_segments=3)),
+    ("train decay0.5", dataclasses.replace(train_tc, retrace_decay=0.5)),
+    ("train cr16", dataclasses.replace(train_tc, max_crossings=16)),
+    ("train cr16 decay0.5", dataclasses.replace(
+        train_tc, max_crossings=16, retrace_decay=0.5)),
 ]
 variants += [] if not args.tile64 else [
     (f"train tile64 x{st}", dataclasses.replace(
