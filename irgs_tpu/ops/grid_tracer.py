@@ -104,6 +104,14 @@ class TracerConfig:
                                    # kernel (ops/gather_pallas.py) instead
                                    # of XLA's serialized gather; value =
                                    # copies kept in flight (0 = XLA)
+    table_bf16: bool = False       # pair table stored bf16 with CELL-
+                                   # RELATIVE means (halves the bandwidth-
+                                   # bound row gather). The select becomes a
+                                   # CONSERVATIVE screen (accept threshold
+                                   # alpha_min/2); blend re-tests with exact
+                                   # f32 alpha, so false accepts are
+                                   # discarded and false rejects are
+                                   # precision-impossible at the margin
     tiled_direct: bool = False     # tiled select reads the DDA's segment
                                    # list UNPACKED: collect skips its
                                    # compaction sort + one-hot einsum (the
@@ -203,6 +211,7 @@ class TracerConfig:
                 retrace_max_hits=pipe.tracer_retrace_max_hits_eval,
                 retrace_hit_budget=pipe.tracer_retrace_hit_budget_eval,
                 retrace_max_crossings=pipe.tracer_retrace_max_crossings_eval,
+                table_bf16=getattr(pipe, "tracer_table_bf16_eval", False),
                 transmittance_min=pipe.transmittance_min,
                 alpha_min=pipe.alpha_min)
         return cls(
@@ -217,6 +226,7 @@ class TracerConfig:
             max_crossings=pipe.tracer_max_crossings,
             n_segments=pipe.tracer_n_segments,
             retrace_frac=pipe.tracer_retrace_frac,
+            table_bf16=getattr(pipe, "tracer_table_bf16", False),
             transmittance_min=pipe.transmittance_min,
             alpha_min=pipe.alpha_min)
 
@@ -500,6 +510,37 @@ def _hit_geom_cols(cols, ray_o, ray_d):
     pz = oz + d * dz - mz
     pu = cols[4] * px + cols[5] * py + cols[6] * pz
     pv = cols[7] * px + cols[8] * py + cols[9] * pz
+    alpha = jnp.minimum(0.99, opa * jnp.exp(-0.5 * (pu * pu + pv * pv)))
+    return alpha, d, d_g
+
+
+def _hit_geom_cols10(cols, ray_o, ray_d):
+    """Hit math on a 10-component candidate slab (mean3 | opacity | ru3 |
+    rv3) — the surfel plane normal is recomputed in-lane as the NORMALIZED
+    cross product of the scaled tangent axes: ru x rv = n / (s0*s1) with
+    s0, s1 > 0, so after normalization the depth/back-cull math is
+    identical (up to last-ulp rounding) to _hit_geom_cols with the stored
+    normal. Saves 3 gathered components per candidate in the tiled select,
+    whose row gather is bandwidth-bound."""
+    ox, oy, oz = ray_o[:, 0:1], ray_o[:, 1:2], ray_o[:, 2:3]
+    dx, dy, dz = ray_d[:, 0:1], ray_d[:, 1:2], ray_d[:, 2:3]
+    mx, my, mz = cols[0], cols[1], cols[2]
+    opa = cols[3]
+    rux, ruy, ruz = cols[4], cols[5], cols[6]
+    rvx, rvy, rvz = cols[7], cols[8], cols[9]
+    cx = ruy * rvz - ruz * rvy
+    cy = ruz * rvx - rux * rvz
+    cz = rux * rvy - ruy * rvx
+    inv = jax.lax.rsqrt(jnp.maximum(cx * cx + cy * cy + cz * cz, 1e-30))
+    nx, ny, nz = cx * inv, cy * inv, cz * inv
+    o_g = nx * (ox - mx) + ny * (oy - my) + nz * (oz - mz)
+    d_g = nx * dx + ny * dy + nz * dz
+    d = -o_g * d_g / jnp.maximum(1e-6, d_g * d_g)
+    px = ox + d * dx - mx
+    py = oy + d * dy - my
+    pz = oz + d * dz - mz
+    pu = rux * px + ruy * py + ruz * pz
+    pv = rvx * px + rvy * py + rvz * pz
     alpha = jnp.minimum(0.99, opa * jnp.exp(-0.5 * (pu * pu + pv * pv)))
     return alpha, d, d_g
 
@@ -798,23 +839,31 @@ def _pack_prefilter(geom):
                            axis=0)
 
 
-def pack_pair_table(grid: Grid, inputs: TraceInputs, tile: int = 16):
+def pack_pair_table(grid: Grid, inputs: TraceInputs, tile: int = 16,
+                    bf16: bool = False):
     """Pair-ordered tile-row candidate table (see _pair_tab_from_geom):
     13 geometry components (mean3 | opacity | ru3 | rv3 | normal3) gathered
     into PAIR order plus the pair's cell id (bitcast). Built once per
     (grid, params) — the tiled select then reads candidates as whole
     tile rows, never by per-candidate random access."""
-    return _pair_tab_from_geom(grid, _pack_geom(inputs), tile)
+    return _pair_tab_from_geom(grid, _pack_geom(inputs), tile, bf16=bf16)
 
 
-def _pair_tab_from_geom(grid: Grid, geom, tile: int = 16):
-    """[ceil(P/tile), pad128(14·tile)] TILE-ROW candidate table: tile t's
-    row holds the 14 components (13 geometry + bitcast cell id) of pairs
-    [t·tile, (t+1)·tile), component-major, padded to a 128-lane multiple.
-    The tiled select gathers whole rows — the one gather shape this backend
-    runs at full rate, PROVIDED the row width is lane-aligned: a gather on
-    224-float rows measured 40x slower than on 256-float rows (the (8,128)
-    tiling makes unaligned row starts straddle tiles; tools/_prof_gather*).
+_TAB_COMPS = 11    # mean3 | opacity | ru3 | rv3 | bitcast cell id
+
+
+def _pair_tab_from_geom(grid: Grid, geom, tile: int = 16, bf16: bool = False):
+    """[ceil(P/tile), pad128(11·tile)] TILE-ROW candidate table: tile t's
+    row holds the 11 components (mean3 | opacity | ru3 | rv3 | bitcast
+    cell id) of pairs [t·tile, (t+1)·tile), component-major, padded to a
+    128-lane multiple. The tiled select gathers whole rows — the one
+    gather shape this backend runs at full rate, PROVIDED the row width is
+    lane-aligned: a gather on 224-float rows measured 40x slower than on
+    256-float rows (the (8,128) tiling makes unaligned row starts straddle
+    tiles; tools/_prof_gather*). The surfel plane normal is NOT stored:
+    the gather is bandwidth-bound at tile=32, and ru x rv (computed
+    in-lane, normalized) is the same direction — 3 fewer components cuts
+    the row 512 -> 384 floats at tile=32.
     """
     sg = grid.sorted_gauss
     # the build runs EVERY training step (geometry moves): one aligned
@@ -823,15 +872,39 @@ def _pair_tab_from_geom(grid: Grid, geom, tile: int = 16):
     # at the bench workload; the padded row-gather moves 10x the bytes but
     # runs at the per-row rate — tools/_prof_train_split.py)
     gp = jnp.pad(geom, ((0, 0), (0, 128 - geom.shape[1])))
-    rows = gp[sg][:, :13]                                  # [P, 13]
-    cellf = jax.lax.bitcast_convert_type(grid.sorted_cell, jnp.float32)
-    tab = jnp.concatenate([rows, cellf[:, None]], axis=-1)  # [P, 14]
+    rows = gp[sg][:, :10]                                  # [P, 10]
+    if bf16:
+        # bf16 halves the bandwidth-bound row gather. Means are stored
+        # CELL-RELATIVE (|rel| <= dilated radius + cell/2), keeping the
+        # absolute bf16 quantization ~cell_size * 2^-9 instead of
+        # scene_extent * 2^-9; the select reconstructs mean = rel + center
+        # from the pair's cell id. The cell id rides as its raw int32 bits
+        # bitcast into two bf16 lanes (pure data movement, bit-preserving).
+        g = grid.cell_meta.shape[0]
+        gres = round(g ** (1 / 3))
+        while gres ** 3 < g:
+            gres += 1
+        cid = grid.sorted_cell
+        cz, rem = cid // (gres * gres), cid % (gres * gres)
+        cy, cx = rem // gres, rem % gres
+        cell = jnp.stack([cx, cy, cz], axis=-1).astype(jnp.float32)
+        center = grid.bb_min[None] + (cell + 0.5) * grid.cell_size[None]
+        rel = rows[:, 0:3] - center
+        geo16 = jnp.concatenate([rel, rows[:, 3:10]],
+                                axis=-1).astype(jnp.bfloat16)   # [P, 10]
+        cid16 = jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(cid, jnp.uint16), jnp.bfloat16)
+        tab = jnp.concatenate([geo16, cid16], axis=-1)          # [P, 12]
+    else:
+        cellf = jax.lax.bitcast_convert_type(grid.sorted_cell, jnp.float32)
+        tab = jnp.concatenate([rows, cellf[:, None]], axis=-1)  # [P, 11]
     P = tab.shape[0]
     pad = (-P) % tile
     tab = jnp.pad(tab, ((0, pad), (0, 0)))
     T = (P + pad) // tile
-    tab = tab.reshape(T, tile, 14).transpose(0, 2, 1).reshape(T, 14 * tile)
-    wpad = (-(14 * tile)) % 128
+    nc = tab.shape[1]
+    tab = tab.reshape(T, tile, nc).transpose(0, 2, 1).reshape(T, nc * tile)
+    wpad = (-(nc * tile)) % 128
     return jnp.pad(tab, ((0, 0), (0, wpad))) if wpad else tab
 
 
@@ -907,18 +980,47 @@ def select_hits_tiled(ray_o, ray_d, grid: Grid, cells: Cells, pair_tab,
                            inflight=cfg.pallas_gather
                            ).reshape(R, ST, pair_tab.shape[1])
     else:
-        rows = pair_tab[row_idx]                   # [R, ST, pad128(14*TILE)]
-    blocks = rows[..., :14 * TILE].reshape(R, ST, 14, TILE)
-    cols = [blocks[:, :, i, :].reshape(R, S1) for i in range(13)]
-    pair_cid = jax.lax.bitcast_convert_type(
-        blocks[:, :, 13, :], jnp.int32).reshape(R, S1)
+        rows = pair_tab[row_idx]                   # [R, ST, pad128(nc*TILE)]
+    if pair_tab.dtype == jnp.bfloat16:
+        nc = _TAB_COMPS + 1                        # 10 geom + 2 cid lanes
+        blocks = rows[..., :nc * TILE].reshape(R, ST, nc, TILE)
+        pair_cid = jax.lax.bitcast_convert_type(
+            blocks[:, :, 10:12, :].transpose(0, 1, 3, 2),
+            jnp.int32).reshape(R, S1)
+        cols = [blocks[:, :, i, :].reshape(R, S1).astype(jnp.float32)
+                for i in range(10)]
+        # means are stored cell-relative: reconstruct mean = rel + center
+        # of the PAIR's cell (f32 center — only the residual paid bf16)
+        pcz, prem = pair_cid // (g * g), pair_cid % (g * g)
+        pcy, pcx = prem // g, prem % g
+        cols[0] = cols[0] + (grid.bb_min[0]
+                             + (pcx.astype(jnp.float32) + 0.5)
+                             * grid.cell_size[0])
+        cols[1] = cols[1] + (grid.bb_min[1]
+                             + (pcy.astype(jnp.float32) + 0.5)
+                             * grid.cell_size[1])
+        cols[2] = cols[2] + (grid.bb_min[2]
+                             + (pcz.astype(jnp.float32) + 0.5)
+                             * grid.cell_size[2])
+        # conservative screen: bf16 rounding can depress the computed alpha
+        # of a true alpha_min hit by a few percent at most — accepting at
+        # half the threshold makes false rejects precision-impossible; the
+        # blend re-tests survivors with exact f32 alpha (blend_hits)
+        accept_min = cfg.alpha_min * 0.5
+    else:
+        nc = _TAB_COMPS
+        blocks = rows[..., :nc * TILE].reshape(R, ST, nc, TILE)
+        cols = [blocks[:, :, i, :].reshape(R, S1) for i in range(nc - 1)]
+        pair_cid = jax.lax.bitcast_convert_type(
+            blocks[:, :, nc - 1, :], jnp.int32).reshape(R, S1)
+        accept_min = cfg.alpha_min
     lane = jnp.arange(TILE, dtype=jnp.int32)[None, None]  # [1, 1, TILE]
     pos3 = row_idx[:, :, None] * TILE + lane              # global pair pos
     lane_valid = (tile_valid[:, :, None]
                   & (pos3 >= start_c[:, :, None])
                   & (pos3 < (start_c + count_c)[:, :, None])).reshape(R, S1)
 
-    alpha, d, d_g = _hit_geom_cols(cols, ray_o, ray_d)
+    alpha, d, d_g = _hit_geom_cols10(cols, ray_o, ray_d)
     # hit-cell dedup: the hit point's cell always contains the gaussian's
     # pair (insertion is radius-dilated), so each true hit is accepted from
     # EXACTLY one pair — no per-candidate window tests, no tolerance
@@ -932,7 +1034,7 @@ def select_hits_tiled(ray_o, ray_d, grid: Grid, cells: Cells, pair_tab,
                              - grid.bb_min[2]) * grid.inv_cell[2]
                             ).astype(jnp.int32), 0, g - 1)
     hcid = (hz * g + hy) * g + hx
-    accept = (lane_valid & (alpha >= cfg.alpha_min) & (d > 1e-6)
+    accept = (lane_valid & (alpha >= accept_min) & (d > 1e-6)
               & (hcid == pair_cid))
     if t_start is not None:
         accept = accept & (d > t_start[:, None])
@@ -1072,7 +1174,8 @@ def select_hits(ray_o, ray_d, sorted_gauss, cells: Cells, geom,
     if cfg.select_tiles > 0:
         assert grid is not None, "tiled select needs the grid"
         if pair_tab is None:
-            pair_tab = _pair_tab_from_geom(grid, geom, cfg.tile)
+            pair_tab = _pair_tab_from_geom(grid, geom, cfg.tile,
+                                           bf16=cfg.table_bf16)
         return select_hits_tiled(ray_o, ray_d, grid, cells, pair_tab, cfg,
                                  back_culling, t_start=t_start,
                                  cand_skip=cand_skip)
@@ -1266,7 +1369,10 @@ def blend_hits(ray_o, ray_d, inputs: TraceInputs, gs_s, valid_s,
     alpha, n_flip, d = _hit_geom(
         geom_g[..., 0:3], geom_g[..., 3], geom_g[..., 4:7], geom_g[..., 7:10],
         geom_g[..., 10:13], ray_o[:, None], ray_d[:, None])
-    alpha = jnp.where(valid_s, alpha, 0.0)
+    # exact alpha_min re-test (≙ the anyhit's alpha_min skip,
+    # gaussiantrace.h): a no-op after the f32 select, but the bf16-table
+    # select is a CONSERVATIVE screen whose false accepts land here
+    alpha = jnp.where(valid_s & (alpha >= cfg.alpha_min), alpha, 0.0)
 
     lg = jnp.log1p(-alpha)
     T_in = jnp.exp(jnp.cumsum(lg, -1) - lg)
@@ -1365,7 +1471,8 @@ def _retrace_body(out, hits, need, ray_o, ray_d, grid, inputs, cfg, sh_deg,
     t_collect = jnp.maximum(hits.t_cell[idx], 0.0)
     geom = jax.lax.stop_gradient(_pack_geom(inputs))
     if pair_tab is None and cfg.select_tiles > 0:
-        pair_tab = _pair_tab_from_geom(grid, geom, cfg.tile)
+        pair_tab = _pair_tab_from_geom(grid, geom, cfg.tile,
+                                           bf16=cfg.table_bf16)
 
     def sel(ro_i, rd_i, t_c, t_a, skip_i):
         cells2 = collect_cells(ro_i, rd_i, grid, cfg, t_start=t_c)
@@ -1460,7 +1567,8 @@ def retrace_rounds(out: TraceOut, hits: SelectedHits, ray_o, ray_d,
         # one tile-row candidate table serves every round (it depends only
         # on grid/geom/tile width, not on the per-round budget)
         pair_tab = _pair_tab_from_geom(
-            grid, jax.lax.stop_gradient(_pack_geom(inputs)), rcfg.tile)
+            grid, jax.lax.stop_gradient(_pack_geom(inputs)), rcfg.tile,
+            bf16=rcfg.table_bf16)
     n_rays = ray_o.shape[0]
     if cfg.retrace_while:
         cap = max(1, min(n_rays, int(n_rays * cfg.retrace_frac)))
@@ -1509,7 +1617,8 @@ def trace_segments(ray_o, ray_d, grid: Grid, inputs: TraceInputs, *,
     rd = jax.lax.stop_gradient(ray_d)
     cells = collect_cells(ro, rd, grid, cfg)
     geom = jax.lax.stop_gradient(_pack_geom(inputs))
-    pair_tab = (_pair_tab_from_geom(grid, geom, cfg.tile)
+    pair_tab = (_pair_tab_from_geom(grid, geom, cfg.tile,
+                                    bf16=cfg.table_bf16)
                 if cfg.select_tiles > 0 else None)
     hits = select_hits(ro, rd, grid.sorted_gauss, cells, geom, cfg,
                        back_culling, grid=grid, pair_tab=pair_tab)

@@ -264,7 +264,8 @@ def make_trace_fn(params, aux, grid, tracer_cfg: gt.TracerConfig,
                     sel_rays //= 2
             n_sel = rop.shape[0] // sel_rays
 
-            pair_tab = (gt._pair_tab_from_geom(grid, geom, tracer_cfg.tile)
+            pair_tab = (gt._pair_tab_from_geom(grid, geom, tracer_cfg.tile,
+                                               bf16=tracer_cfg.table_bf16)
                         if tracer_cfg.select_tiles > 0 else None)
 
             def collect_select(a, b):
