@@ -517,11 +517,13 @@ def _hit_geom_cols(cols, ray_o, ray_d):
 def _hit_geom_cols10(cols, ray_o, ray_d):
     """Hit math on a 10-component candidate slab (mean3 | opacity | ru3 |
     rv3) — the surfel plane normal is recomputed in-lane as the NORMALIZED
-    cross product of the scaled tangent axes: ru x rv = n / (s0*s1) with
-    s0, s1 > 0, so after normalization the depth/back-cull math is
-    identical (up to last-ulp rounding) to _hit_geom_cols with the stored
-    normal. Saves 3 gathered components per candidate in the tiled select,
-    whose row gather is bandwidth-bound."""
+    cross product of the scaled tangent axes. The raw ru x rv direction is
+    the frame orientation, NOT the camera-flipped stored normal
+    (flip_align_view) — the table build folds the flip into ru's sign
+    (_pair_tab_from_geom), after which depth AND the back-cull d_g sign
+    match _hit_geom_cols with the stored normal up to last-ulp rounding.
+    Saves 3 gathered components per candidate in the tiled select, whose
+    row gather is bandwidth-bound."""
     ox, oy, oz = ray_o[:, 0:1], ray_o[:, 1:2], ray_o[:, 2:3]
     dx, dy, dz = ray_d[:, 0:1], ray_d[:, 1:2], ray_d[:, 2:3]
     mx, my, mz = cols[0], cols[1], cols[2]
@@ -842,8 +844,9 @@ def _pack_prefilter(geom):
 def pack_pair_table(grid: Grid, inputs: TraceInputs, tile: int = 16,
                     bf16: bool = False):
     """Pair-ordered tile-row candidate table (see _pair_tab_from_geom):
-    13 geometry components (mean3 | opacity | ru3 | rv3 | normal3) gathered
-    into PAIR order plus the pair's cell id (bitcast). Built once per
+    11 components (mean3 | opacity | ru3 | rv3 | bitcast cell id) gathered
+    into PAIR order; the surfel normal is recomputed in-lane as normalized
+    ru x rv (orientation folded into ru's sign). Built once per
     (grid, params) — the tiled select then reads candidates as whole
     tile rows, never by per-candidate random access."""
     return _pair_tab_from_geom(grid, _pack_geom(inputs), tile, bf16=bf16)
@@ -872,7 +875,18 @@ def _pair_tab_from_geom(grid: Grid, geom, tile: int = 16, bf16: bool = False):
     # at the bench workload; the padded row-gather moves 10x the bytes but
     # runs at the per-row rate — tools/_prof_train_split.py)
     gp = jnp.pad(geom, ((0, 0), (0, 128 - geom.shape[1])))
-    rows = gp[sg][:, :10]                                  # [P, 10]
+    rows13 = gp[sg][:, :13]                                # [P, 13]
+    # The stored normal (cols 10:13) is camera-flipped (flip_align_view),
+    # while ru x rv is the raw frame orientation — the two disagree in sign
+    # for ~half the gaussians. Fold the flip into ru's sign: negating ru
+    # flips the recomputed cross product to match the stored normal while
+    # leaving alpha (pu enters squared) and depth d = -o_g*d_g/d_g^2 (both
+    # factors flip) unchanged, so back_culling's d_g test is sign-exact.
+    ru, rv, n_st = rows13[:, 4:7], rows13[:, 7:10], rows13[:, 10:13]
+    cr = jnp.cross(ru, rv)
+    flip = jnp.where(jnp.sum(cr * n_st, axis=-1) < 0.0, -1.0, 1.0)
+    rows = jnp.concatenate(
+        [rows13[:, 0:4], ru * flip[:, None], rv], axis=-1)  # [P, 10]
     if bf16:
         # bf16 halves the bandwidth-bound row gather. Means are stored
         # CELL-RELATIVE (|rel| <= dilated radius + cell/2), keeping the
@@ -973,7 +987,8 @@ def select_hits_tiled(ray_o, ray_d, grid: Grid, cells: Cells, pair_tab,
     n_rows = pair_tab.shape[0]
     row_idx = jnp.where(tile_valid, jnp.minimum(row_idx, n_rows - 1), 0)
 
-    # ONE row gather: [R, ST] tile rows of pad128(14·TILE) floats
+    # ONE row gather: [R, ST] tile rows of pad128(11·TILE) floats
+    # (12·TILE bf16 lanes when the table is bf16)
     if cfg.pallas_gather:
         from irgs_tpu.ops.gather_pallas import gather_rows
         rows = gather_rows(pair_tab, row_idx.reshape(-1),
@@ -1002,10 +1017,16 @@ def select_hits_tiled(ray_o, ray_d, grid: Grid, cells: Cells, pair_tab,
         cols[2] = cols[2] + (grid.bb_min[2]
                              + (pcz.astype(jnp.float32) + 0.5)
                              * grid.cell_size[2])
-        # conservative screen: bf16 rounding can depress the computed alpha
-        # of a true alpha_min hit by a few percent at most — accepting at
-        # half the threshold makes false rejects precision-impossible; the
-        # blend re-tests survivors with exact f32 alpha (blend_hits)
+        # conservative screen: accepting at half the threshold absorbs the
+        # typical bf16 rounding depression of a true alpha_min hit, and the
+        # blend re-tests survivors with exact f32 alpha (blend_hits).
+        # CAVEAT: the cell-relative mean quantization (~cell_size * 2^-9
+        # absolute) maps to O(1) error in the Mahalanobis coords pu/pv for
+        # gaussians much SMALLER than a grid cell, where a true hit can
+        # still fall below alpha_min/2 (and the hit-cell dedup can flip
+        # near cell boundaries) — validated only on the dense stress scene;
+        # default-off (config.tracer_table_bf16) pending validation on a
+        # trained small-gaussian scene.
         accept_min = cfg.alpha_min * 0.5
     else:
         nc = _TAB_COMPS

@@ -427,6 +427,42 @@ def test_tiled_select_matches_brute_force(setup, topk, direct):
     np.testing.assert_allclose(out.normal, ref.normal, atol=3e-5)
 
 
+def test_tiled_select_back_culling_flipped_normals(setup):
+    """back_culling in the tiled select must use the STORED (camera-flipped)
+    normal's sign, not raw ru x rv: the pair-table build folds the flip into
+    ru's sign (_pair_tab_from_geom). Negate half the stored normals (the
+    flip_align_view situation) and pin against the brute-force oracle."""
+    inputs, alive, _, rays_o, rays_d = setup
+    n = inputs.means3d.shape[0]
+    sign = jnp.where(jnp.arange(n) % 2 == 0, -1.0, 1.0)[:, None]
+    flipped = inputs._replace(normals=inputs.normals * sign)
+    radius = gt.bounding_radius(
+        flipped.opacity,
+        jnp.stack([1.0 / jnp.linalg.norm(flipped.ru, axis=-1),
+                   1.0 / jnp.linalg.norm(flipped.rv, axis=-1)], -1),
+        CFG.alpha_min)
+    grid = gt.build_grid(flipped.means3d, radius, alive,
+                         grid_res=CFG.grid_res,
+                         pair_capacity=CFG.pair_capacity,
+                         span_cap=CFG.span_cap)
+    cfgt = gt.TracerConfig(
+        grid_res=16, pair_capacity=2 ** 15, max_cells=48, span_cap=8,
+        select_tiles=8, tile=64, hit_budget=32, tiled_direct=True,
+        n_segments=8, retrace_frac=1.0)
+    out = gt.trace_segments(rays_o, rays_d, grid, flipped, cfg=cfgt,
+                            sh_deg=3, back_culling=True)
+    ref = gt.trace_reference(rays_o, rays_d, flipped, alive, sh_deg=3,
+                             transmittance_min=cfgt.transmittance_min,
+                             back_culling=True)
+    assert float(ref.alpha.max()) > 0.3
+    # culling must actually remove something vs the uncull trace
+    ref_nocull = gt.trace_reference(rays_o, rays_d, flipped, alive, sh_deg=3,
+                                    transmittance_min=cfgt.transmittance_min)
+    assert float(jnp.abs(ref.alpha - ref_nocull.alpha).max()) > 1e-3
+    np.testing.assert_allclose(out.alpha, ref.alpha, atol=3e-5)
+    np.testing.assert_allclose(out.color, ref.color, atol=3e-5)
+
+
 @pytest.mark.parametrize("direct", [False, True])
 def test_tiled_select_gradients_match_oracle(setup, direct):
     inputs, alive, grid, rays_o, rays_d = setup
