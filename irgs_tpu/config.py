@@ -182,7 +182,12 @@ class OptimizationConfig:
     normal_loss_start: int = 1000
     dist_loss_start: int = 1000
 
-    train_ray: bool = False
+    # train_ray: MC-shade only a fixed ray budget per step. The reference's
+    # argparse default is False but EVERY stage-2 launch script passes
+    # --train_ray (train_stage2_spec_v5.sh:29, README.md:67) — the measured
+    # workload is the ray path, so it is the default here; disable with
+    # --no-train_ray for the full-image loss (train.py:163 else-branch).
+    train_ray: bool = True
     trace_num_rays: int = 2 ** 18
 
 

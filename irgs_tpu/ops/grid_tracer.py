@@ -107,11 +107,15 @@ class TracerConfig:
     table_bf16: bool = False       # pair table stored bf16 with CELL-
                                    # RELATIVE means (halves the bandwidth-
                                    # bound row gather). The select becomes a
-                                   # CONSERVATIVE screen (accept threshold
+                                   # widened screen (accept threshold
                                    # alpha_min/2); blend re-tests with exact
-                                   # f32 alpha, so false accepts are
-                                   # discarded and false rejects are
-                                   # precision-impossible at the margin
+                                   # f32 alpha, so false accepts are always
+                                   # discarded. False rejects at the margin
+                                   # are possible for gaussians much smaller
+                                   # than a grid cell (mean quantization
+                                   # ~cell·2^-9 is O(1) in Mahalanobis units
+                                   # when scale << cell) — validate on the
+                                   # target scene before enabling.
     tiled_direct: bool = False     # tiled select reads the DDA's segment
                                    # list UNPACKED: collect skips its
                                    # compaction sort + one-hot einsum (the

@@ -34,6 +34,7 @@ class EvalConfig:
     dup_capacity: int = 2 ** 21
     chunk_point_samples: int = 2 ** 20     # reference chunk budget
     depth_ratio: float = 0.0
+    env_activation: str = "exp"    # "softplus" ≙ DirectLightMap (light.py:379)
     tracer: gt.TracerConfig = dataclasses.field(default_factory=gt.TracerConfig)
 
     @property
@@ -69,7 +70,8 @@ def _shade_impl(px_c, params, aux, grid, env_raw, pdf, cam_pos,
     shade_cfg = ir.ShadeConfig(
         diffuse_sample_num=cfg.diffuse_sample_num,
         light_sample_num=cfg.light_sample_num, light_t_min=cfg.light_t_min,
-        wo_indirect=cfg.wo_indirect, training=False)
+        wo_indirect=cfg.wo_indirect, training=False,
+        env_activation=cfg.env_activation)
     return ir.rendering_equation(
         px_c["base"], px_c["rough"], px_c["normal"], px_c["points"],
         px_c["wo"], env_raw, pdf, trace_fn, shade_cfg, key=None,
@@ -122,7 +124,7 @@ def render_ir_eval(params, aux, grid, cam: CameraParams, cfg: EvalConfig,
     alpha = maps["alpha"]
 
     env_raw = params.env if env_override is None else env_override
-    pdf = envlight.build_pdf(env_raw)
+    pdf = envlight.build_pdf(env_raw, activation=cfg.env_activation)
 
     flat = lambda x: x.reshape(-1, x.shape[-1])
     n_px = w * h
@@ -197,6 +199,7 @@ def render_ir_eval(params, aux, grid, cam: CameraParams, cfg: EvalConfig,
     final = rendered_full * alpha + bg[None, None] * (1 - alpha)
     env_dirs = maps["rays_d"]
     direct = rgb_to_srgb(envlight.query_env(env_raw, env_dirs,
+                                            activation=cfg.env_activation,
                                             transform=env_transform))
     out = {
         "render": final,

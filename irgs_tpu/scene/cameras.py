@@ -20,12 +20,21 @@ from ..utils import math3d
 
 
 class CameraParams(NamedTuple):
-    """Small per-view arrays consumed inside jit (a pytree)."""
+    """Small per-view arrays consumed inside jit (a pytree).
+
+    cx/cy: principal point in continuous pixel coordinates (pixel i spans
+    [i, i+1)). Centered pinholes use (W/2, H/2); COLMAP captures carry the
+    calibrated offsets (≙ getProjectionMatrixCenterShift consumers,
+    reference utils/graphics_utils.py:106-124, dataset_readers.py:191-240).
+    The projection shift itself lives inside full_proj; cx/cy feed the ray
+    grid, which must agree with it."""
     w2c: jnp.ndarray        # [4, 4] world -> camera (column-vector)
     full_proj: jnp.ndarray  # [4, 4] world -> clip (P @ w2c)
     cam_pos: jnp.ndarray    # [3]
     fx: jnp.ndarray         # scalar
     fy: jnp.ndarray         # scalar
+    cx: jnp.ndarray         # scalar, pixels
+    cy: jnp.ndarray         # scalar, pixels
 
     def pixmat(self, W: int, H: int) -> jnp.ndarray:
         """[3, 4] world-homogeneous -> pixel-homogeneous transform.
@@ -46,8 +55,8 @@ class CameraParams(NamedTuple):
         """
         u = jnp.arange(W, dtype=jnp.float32)[None, :, None]
         v = jnp.arange(H, dtype=jnp.float32)[:, None, None]
-        x = (u - W / 2.0 + 0.5) / self.fx
-        y = (v - H / 2.0 + 0.5) / self.fy
+        x = (u + 0.5 - self.cx) / self.fx
+        y = (v + 0.5 - self.cy) / self.fy
         ones = jnp.ones_like(x + y)
         d_cam = jnp.concatenate([x + 0 * y, y + 0 * x, ones], axis=-1)
         R_c2w = self.w2c[:3, :3].T
@@ -93,8 +102,14 @@ class Camera:
         self.full_proj = (self.proj @ self.w2c).astype(np.float32)
         self.c2w = np.linalg.inv(self.w2c)
         self.cam_pos = self.c2w[:3, 3].astype(np.float32)
-        self.fx = math3d.fov2focal(self.fovx, self.width)
-        self.fy = math3d.fov2focal(self.fovy, self.height)
+        if K is None:
+            self.fx = math3d.fov2focal(self.fovx, self.width)
+            self.fy = math3d.fov2focal(self.fovy, self.height)
+            self.cx = self.width / 2.0
+            self.cy = self.height / 2.0
+        else:
+            self.fx, self.fy = float(K[0, 0]), float(K[1, 1])
+            self.cx, self.cy = float(K[0, 2]), float(K[1, 2])
 
     def params(self) -> CameraParams:
         return CameraParams(
@@ -103,6 +118,8 @@ class Camera:
             cam_pos=jnp.asarray(self.cam_pos),
             fx=jnp.asarray(self.fx, jnp.float32),
             fy=jnp.asarray(self.fy, jnp.float32),
+            cx=jnp.asarray(self.cx, jnp.float32),
+            cy=jnp.asarray(self.cy, jnp.float32),
         )
 
     @property
@@ -122,4 +139,6 @@ def stack_camera_params(cams: list[Camera]) -> CameraParams:
         cam_pos=jnp.stack([jnp.asarray(c.cam_pos) for c in cams]),
         fx=jnp.asarray(np.array([c.fx for c in cams], np.float32)),
         fy=jnp.asarray(np.array([c.fy for c in cams], np.float32)),
+        cx=jnp.asarray(np.array([c.cx for c in cams], np.float32)),
+        cy=jnp.asarray(np.array([c.cy for c in cams], np.float32)),
     )

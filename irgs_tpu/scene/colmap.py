@@ -105,21 +105,28 @@ def read_colmap_scene(path, images_dir="images", eval_split=False,
         meta = cams_meta[im["camera_id"]]
         R = _qvec2rotmat(im["qvec"]).T        # c2w rotation convention
         T = im["tvec"]
+        # intrinsics incl. the principal point (≙ K-correct projection,
+        # reference utils/graphics_utils.py:106-124 + dataset_readers.py:
+        # 191-240 — dropping cx/cy silently skews real captures)
         p = meta["params"]
-        if meta["model"] == "SIMPLE_PINHOLE":
+        if meta["model"] == "SIMPLE_PINHOLE":     # [f, cx, cy]
             fx = fy = p[0]
+            cx, cy = p[1], p[2]
         elif meta["model"] in ("PINHOLE", "OPENCV", "FULL_OPENCV"):
-            fx, fy = p[0], p[1]
-        else:  # radial models: use focal, ignore distortion (assume undistorted)
+            fx, fy, cx, cy = p[0], p[1], p[2], p[3]
+        else:  # radial models [f, cx, cy, k...]: use focal + center, ignore
+            # distortion (assume undistorted, as the reference does)
             fx = fy = p[0]
+            cx, cy = p[1], p[2]
         img_path = os.path.join(path, images_dir, im["name"])
         img = np.asarray(Image.open(img_path).convert("RGB"), np.float32) / 255.0
         h, w = img.shape[:2]
         fovx = focal2fov(fx, w)
         fovy = focal2fov(fy, h)
+        K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
         name = os.path.splitext(im["name"])[0]
         cameras.append(Camera(uid, R, T, fovx=fovx, fovy=fovy, image=img,
-                              image_name=name, image_path=img_path))
+                              image_name=name, image_path=img_path, K=K))
 
     if eval_split:
         train = [c for i, c in enumerate(cameras) if i % llffhold != 0]

@@ -48,7 +48,15 @@ def init_env(resolution: int, init_value: float, activation: str = "exp"):
 
 def init_direct_light(key, max_res: int = 16, init_value: float = 0.5):
     """≙ DirectLightMap.__init__ (light.py:381-387): uniform random
-    [H=max_res, W=2·max_res, 3] raw grid, softplus activation."""
+    [H=max_res, W=2·max_res, 3] raw grid, softplus activation.
+
+    The full DirectLightMap surface = this init + query_env(...,
+    activation="softplus") + build_pdf(..., activation="softplus"); wire it
+    into training with --envmap_activation softplus (Stage2Static/EvalConfig
+    env_activation). Note the reference class itself is dead code there —
+    its only reference is a commented-out `as EnvLight` alias import
+    (gaussian_model.py:9) — so this functional form is the complete parity
+    surface, made reachable end-to-end."""
     return init_value * jax.random.uniform(key, (max_res, max_res * 2, 3))
 
 

@@ -165,6 +165,28 @@ def create_from_pcd(points: np.ndarray, colors: np.ndarray, n_capacity: int,
     return params, aux
 
 
+def empty_params(n_capacity: int, max_sh_degree: int = 3,
+                 env_shape=(64, 128, 3)):
+    """Zero-filled (params, aux) of the given static shapes — a structure
+    TEMPLATE for checkpoint deserialization (values are overwritten)."""
+    k = (max_sh_degree + 1) ** 2
+    z = lambda *s: jnp.zeros((n_capacity,) + s, jnp.float32)
+    params = GaussianParams(
+        xyz=z(3), base_color=z(3), metallic=z(1), roughness=z(1),
+        features_dc=z(1, 3), features_rest=z(k - 1, 3), scaling=z(2),
+        rotation=jnp.concatenate(
+            [jnp.ones((n_capacity, 1)), jnp.zeros((n_capacity, 3))], axis=1),
+        opacity=z(1), env=jnp.zeros(tuple(env_shape), jnp.float32),
+        max_sh_degree=max_sh_degree)
+    aux = GaussianAux(
+        alive=jnp.zeros(n_capacity, bool),
+        max_radii2d=jnp.zeros(n_capacity),
+        xyz_gradient_accum=jnp.zeros(n_capacity),
+        denom=jnp.zeros(n_capacity),
+        active_sh_degree=jnp.int32(0))
+    return params, aux
+
+
 # ---------------------------------------------------------------------------
 # PLY artifact I/O — same attribute layout as the reference
 # (construct_list_of_attributes, scene/gaussian_model.py:409-424)
@@ -196,8 +218,23 @@ def save_ply(path: str, params: GaussianParams, aux: GaussianAux) -> None:
     for i in range(4):
         fields[f"rot_{i}"] = rt[:, i]
     write_ply(path, structured_from_dict(fields), comments=("irgs_tpu gaussian surfels",))
-    # envmap sidecar (≙ point_cloud1.map / .exr, gaussian_model.py:449-468)
-    np.save(path.replace(".ply", "_env.npy"), np.asarray(params.env))
+    # envmap sidecars (≙ save_ply's `<stem>1.map` + `<stem>1.exr`,
+    # gaussian_model.py:449-468): the .map carries the RAW trainable grid in
+    # the reference's torch format ({"state_dict": {"base": ...},
+    # "activation": name}) so reference-layout dirs interoperate both ways;
+    # the .exr is an HDR image of the activated map; the .npy stays as the
+    # fast exact-roundtrip local format.
+    env_raw = np.asarray(params.env)
+    np.save(path.replace(".ply", "_env.npy"), env_raw)
+    from ..utils.exr import write_exr
+    write_exr(path.replace(".ply", "1.exr"),
+              np.exp(env_raw).astype(np.float32))
+    try:
+        import torch
+        torch.save({"state_dict": {"base": torch.from_numpy(env_raw.copy())},
+                    "activation": "exp"}, path.replace(".ply", "1.map"))
+    except ImportError:
+        pass
 
 
 def load_ply(path: str, n_capacity: int, max_sh_degree: int = 3):
@@ -225,8 +262,24 @@ def load_ply(path: str, n_capacity: int, max_sh_degree: int = 3):
 
     import os
     env_path = path.replace(".ply", "_env.npy")
+    map_path = path.replace(".ply", "1.map")
+    exr_path = path.replace(".ply", "1.exr")
     if os.path.exists(env_path):
         env = jnp.asarray(np.load(env_path))
+    elif os.path.exists(map_path):
+        # reference torch sidecar (gaussian_model.py:468,513-519)
+        import torch
+        blob = torch.load(map_path, map_location="cpu", weights_only=False)
+        base = blob["state_dict"]["base"]
+        env = jnp.asarray(np.asarray(base.detach().numpy(), np.float32))
+        if blob.get("activation", "exp") != "exp":
+            raise ValueError(
+                f"envmap sidecar {map_path} uses activation "
+                f"{blob.get('activation')!r}; only 'exp' raw grids load")
+    elif os.path.exists(exr_path):
+        # HDR image of the ACTIVATED map: invert the exp activation
+        from ..utils.exr import read_exr_rgb
+        env = jnp.log(jnp.maximum(jnp.asarray(read_exr_rgb(exr_path)), 1e-8))
     else:
         env = jnp.zeros((64, 128, 3), jnp.float32)
 

@@ -3,9 +3,11 @@
 ≙ reference Scene.train_rays + get_batch_rays (scene/__init__.py:96-110,
 133-136): every training pixel across every camera becomes one (origin,
 direction, rgb) ray record, and batches are drawn uniformly over the whole
-bank. The fork's shipped training scripts step per-camera instead (as our
-trainers do), but the bank is reference API surface; it also enables
-ray-batch training variants.
+bank. Parity note: in the reference tree `get_batch_rays` has ZERO call
+sites — the bank is built in Scene.__init__ and never consumed by any
+shipped trainer (verified by grep over the full tree). This module is the
+same surface with the same status: exercised by tests, available for
+ray-batch training variants, not on the training hot path.
 
 TPU note: the bank is built lazily per camera and concatenated as numpy on
 host (it can reach GBs at 800² x hundreds of cameras — same footprint the

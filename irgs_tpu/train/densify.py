@@ -98,6 +98,7 @@ def densify_and_prune(params: GaussianParams, aux: GaussianAux, opt_state, key,
     # --- clone (small gaussians): copy in place (gaussian_model.py:671-690)
     clone_sel = high_grad & (max_scale <= percent_dense * extent)
     src, dst, ok = _alloc_dead_slots(aux.alive, clone_sel, max_new)
+    n_cloned = jnp.sum(ok)            # clones actually written this round
     params = _copy_rows(params, src, dst, ok)
     opt_state = zero_opt_rows(opt_state, dst, ok, n)
     alive = aux.alive.at[dst].set(jnp.where(ok, True, aux.alive[dst]))
@@ -144,7 +145,7 @@ def densify_and_prune(params: GaussianParams, aux: GaussianAux, opt_state, key,
         active_sh_degree=aux.active_sh_degree,
     )
     stats = {"n_alive": jnp.sum(new_alive),
-             "n_cloned": jnp.sum(clone_sel & ok[0:1]),  # approximate
+             "n_cloned": n_cloned,
              "n_split": jnp.sum(split_sel)}
     return params, aux, opt_state, stats
 

@@ -56,6 +56,14 @@ class Stage2Static:
     white_background: bool
     dup_capacity: int
     tracer: gt.TracerConfig
+    # train_ray=True: MC-shade a fixed-size random pixel subset (reference
+    # --train_ray, every stage-2 launch script). False: shade EVERY fg pixel
+    # in fixed chunks and take the full-image L1+DSSIM loss (reference
+    # train.py:163 else-branch + loss_utils.py:173-175).
+    train_ray: bool = True
+    # envmap activation: "exp" (EnvLight default) or "softplus" (≙ the
+    # DirectLightMap variant, light.py:379-406)
+    env_activation: str = "exp"
     # loss lambdas (static floats so zero terms compile away)
     lambda_dssim: float = 0.2
     lambda_dist: float = 0.0
@@ -93,6 +101,7 @@ def from_configs(cfg, img_w: int, img_h: int, active_sh_degree: int = 3) -> Stag
         img_w=img_w, img_h=img_h, active_sh_degree=active_sh_degree,
         diffuse_sample_num=p.diffuse_sample_num, light_sample_num=p.light_sample_num,
         trace_num_rays=o.trace_num_rays, light_t_min=p.light_t_min,
+        train_ray=o.train_ray, env_activation=m.envmap_activation,
         wo_indirect=p.wo_indirect, detach_indirect=p.detach_indirect,
         white_background=m.white_background,
         dup_capacity=p.dup_capacity or 2 ** 21,
@@ -136,56 +145,117 @@ def stage2_forward_loss(params: GaussianParams, aux: GaussianAux, grid: gt.Grid,
     base_color_img = raster.feature[..., :3]
     rough_img = raster.feature[..., 3:4]
 
-    # --- pixel subset for MC shading (train_ray, __init__.py:194-212) -----
-    eligible = (alpha[..., 0] > 0.9)
-    if cam_mask is not None:
-        eligible = eligible & cam_mask
-    k_sel, k_shade = jax.random.split(key)
-    idx, ray_valid = ir.select_train_pixels(k_sel, eligible, st.num_shaded_pixels)
-
-    flat = lambda x: x.reshape(-1, x.shape[-1])
-    px_base = flat(base_color_img)[idx]
-    px_rough = flat(rough_img)[idx]
-    px_normal = flat(maps["normal_map"])[idx]
-    px_points = flat(maps["points"])[idx]
-    px_wo = -flat(maps["rays_d"])[idx]
-    px_alpha = flat(alpha)[idx]
-    # rays selected beyond the eligible count are padding; degenerate
-    # G-buffer normals there turn into NaNs inside the sampling frame, and
-    # NaN·0 still poisons the loss AND the backward pass — substitute safe
-    # inputs (outputs are weighted by ray_valid below)
-    safe = ray_valid[:, None]
-    unit_z = jnp.array([0.0, 0.0, 1.0])
-    px_normal = jnp.where(safe, px_normal, unit_z)
-    px_wo = jnp.where(safe, px_wo, unit_z)
-    px_points = jnp.where(safe, px_points, 0.0)
-
     shade_cfg = ir.ShadeConfig(
         diffuse_sample_num=st.diffuse_sample_num,
         light_sample_num=st.light_sample_num, light_t_min=st.light_t_min,
         wo_indirect=st.wo_indirect, detach_indirect=st.detach_indirect,
-        training=True)
+        training=True, env_activation=st.env_activation)
+    pdf = envlight.build_pdf(jax.lax.stop_gradient(params.env),
+                             activation=st.env_activation)
+    flat = lambda x: x.reshape(-1, x.shape[-1])
+    unit_z = jnp.array([0.0, 0.0, 1.0])
     trace_stats = {}
-    trace_fn = ir.make_trace_fn(params, aux, grid, st.tracer, cam.cam_pos,
-                                st.active_sh_degree, stats_out=trace_stats)
-    pdf = envlight.build_pdf(jax.lax.stop_gradient(params.env))
-    re = ir.rendering_equation(px_base, px_rough, px_normal, px_points, px_wo,
-                               params.env, pdf, trace_fn, shade_cfg, key=k_shade)
+    k_sel, k_shade = jax.random.split(key)
 
-    full = rgb_to_srgb(re["diffuse"] + re["specular"])
-    ray_rgb = full * px_alpha + bg[None] * (1 - px_alpha)
-    gt_flat = flat(gt_image)[idx]
-    # rays selected beyond the eligible count are padding; their shading can
-    # be NaN (degenerate G-buffer normals) and NaN·0 still poisons the loss
-    ray_rgb = jnp.where(ray_valid[:, None], ray_rgb, 0.0)
-    gt_flat = jnp.where(ray_valid[:, None], gt_flat, 0.0)
+    if st.train_ray:
+        # --- pixel subset for MC shading (train_ray, __init__.py:194-212) --
+        eligible = (alpha[..., 0] > 0.9)
+        if cam_mask is not None:
+            eligible = eligible & cam_mask
+        idx, ray_valid = ir.select_train_pixels(k_sel, eligible,
+                                                st.num_shaded_pixels)
 
-    vw = ray_valid.astype(jnp.float32)[:, None]
-    denom = jnp.maximum(jnp.sum(vw) * 3, 1.0)
+        px_base = flat(base_color_img)[idx]
+        px_rough = flat(rough_img)[idx]
+        px_normal = flat(maps["normal_map"])[idx]
+        px_points = flat(maps["points"])[idx]
+        px_wo = -flat(maps["rays_d"])[idx]
+        px_alpha = flat(alpha)[idx]
+        # rays selected beyond the eligible count are padding; degenerate
+        # G-buffer normals there turn into NaNs inside the sampling frame, and
+        # NaN·0 still poisons the loss AND the backward pass — substitute safe
+        # inputs (outputs are weighted by ray_valid below)
+        safe = ray_valid[:, None]
+        px_normal = jnp.where(safe, px_normal, unit_z)
+        px_wo = jnp.where(safe, px_wo, unit_z)
+        px_points = jnp.where(safe, px_points, 0.0)
 
-    # --- calculate_loss2 (loss_utils.py:159-282) ---------------------------
-    l_l1 = jnp.sum(jnp.abs(ray_rgb - gt_flat) * vw) / denom
-    loss = l_l1
+        trace_fn = ir.make_trace_fn(params, aux, grid, st.tracer, cam.cam_pos,
+                                    st.active_sh_degree, stats_out=trace_stats)
+        re = ir.rendering_equation(px_base, px_rough, px_normal, px_points,
+                                   px_wo, params.env, pdf, trace_fn, shade_cfg,
+                                   key=k_shade)
+
+        full = rgb_to_srgb(re["diffuse"] + re["specular"])
+        ray_rgb = full * px_alpha + bg[None] * (1 - px_alpha)
+        gt_flat = flat(gt_image)[idx]
+        # rays selected beyond the eligible count are padding; their shading
+        # can be NaN (degenerate G-buffer normals) and NaN·0 still poisons
+        # the loss
+        ray_rgb = jnp.where(ray_valid[:, None], ray_rgb, 0.0)
+        gt_flat = jnp.where(ray_valid[:, None], gt_flat, 0.0)
+
+        vw = ray_valid.astype(jnp.float32)[:, None]
+        denom = jnp.maximum(jnp.sum(vw) * 3, 1.0)
+
+        # --- calculate_loss2 (loss_utils.py:159-282) -----------------------
+        l_l1 = jnp.sum(jnp.abs(ray_rgb - gt_flat) * vw) / denom
+        loss = l_l1
+        quality = {"ray_psnr": L.psnr(ray_rgb * vw, gt_flat * vw)}
+        light_direct = re["light_direct"]
+    else:
+        # --- full-image path (reference train.py:163 else-branch): shade
+        # EVERY foreground pixel (mask = alpha > 0, __init__.py:213-216) in
+        # fixed-size rematerialized chunks, then full-image L1 + DSSIM on the
+        # composited render (loss_utils.py:173-175)
+        n_px = st.img_w * st.img_h
+        pc = min(st.num_shaded_pixels, n_px)
+        fg = alpha[..., 0].reshape(-1) > 0
+        safe = fg[:, None]
+        px = dict(
+            base=flat(base_color_img),
+            rough=flat(rough_img),
+            normal=jnp.where(safe, flat(maps["normal_map"]), unit_z),
+            points=jnp.where(safe, flat(maps["points"]), 0.0),
+            wo=jnp.where(safe, -flat(maps["rays_d"]), unit_z),
+            pid=jnp.arange(n_px, dtype=jnp.int32)[:, None],
+        )
+        pad = (-n_px) % pc
+        n_chunks = (n_px + pad) // pc
+        pxc = {k: jnp.pad(v, ((0, pad), (0, 0))).reshape(n_chunks, pc, -1)
+               for k, v in px.items()}
+        keys = jax.random.split(k_shade, n_chunks)
+
+        trace_fn = ir.make_trace_fn(params, aux, grid, st.tracer, cam.cam_pos,
+                                    st.active_sh_degree)
+
+        def shade_chunk(c):
+            ch, kk = c
+            re_c = ir.rendering_equation(
+                ch["base"], ch["rough"], ch["normal"], ch["points"], ch["wo"],
+                params.env, pdf, trace_fn, shade_cfg, key=kk,
+                pixel_ids=ch["pid"][:, 0])
+            return {k: re_c[k] for k in ("diffuse", "specular", "light_direct")}
+
+        if n_chunks == 1:
+            re = jax.tree.map(lambda x: x[None],
+                              shade_chunk(jax.tree.map(lambda x: x[0],
+                                                       (pxc, keys))))
+        else:
+            # remat each chunk: backward recomputes the chunk's shading
+            # instead of storing every chunk's [pc, S, 3] intermediates
+            re = jax.lax.map(jax.checkpoint(shade_chunk), (pxc, keys))
+        re = {k: v.reshape(n_chunks * pc, -1)[:n_px] for k, v in re.items()}
+        full = rgb_to_srgb(re["diffuse"] + re["specular"])
+        full = jnp.where(safe, full, 0.0).reshape(st.img_h, st.img_w, 3)
+        render = full * alpha + bg[None, None] * (1 - alpha)
+        l_l1 = (L.l1_loss(render, gt_image)
+                + st.lambda_dssim * (1 - L.ssim(render, gt_image)))
+        loss = l_l1
+        quality = {"psnr": L.psnr(render, gt_image)}
+        vw = fg.astype(jnp.float32)[:, None]
+        denom = jnp.maximum(jnp.sum(vw) * 3, 1.0)
+        light_direct = re["light_direct"]
 
     render_sh = rgb_to_srgb(raster.color) + bg[None, None] * (1 - alpha)
     sh_mask = (alpha > 0.9).astype(jnp.float32)
@@ -196,7 +266,7 @@ def stage2_forward_loss(params: GaussianParams, aux: GaussianAux, grid: gt.Grid,
     loss = loss + l_sh
 
     metrics = {"loss_l1": l_l1, "loss_sh": l_sh,
-               "ray_psnr": L.psnr(ray_rgb * vw, gt_flat * vw),
+               **quality,
                # capacity observability (VERDICT r2 weak #4): a silently
                # overflowing duplicate buffer or pair table degrades quality
                # with no error — surface the counters every step so the
@@ -237,7 +307,7 @@ def stage2_forward_loss(params: GaussianParams, aux: GaussianAux, grid: gt.Grid,
             img = img * cam_mask[..., None]
         loss = loss + st.lambda_normal_smooth * L.first_order_edge_aware_loss(img, gt_image)
     if st.lambda_light > 0:
-        ld = re["light_direct"]
+        ld = light_direct
         mean_light = jnp.broadcast_to(ld.mean(-1, keepdims=True), ld.shape)
         loss = loss + st.lambda_light * jnp.sum(jnp.abs(ld - mean_light) * vw) / denom
     if st.lambda_light_smooth > 0:
@@ -265,3 +335,47 @@ def init_state(params: GaussianParams, aux: GaussianAux, opt_cfg,
                spatial_lr_scale: float = 1.0):
     optimizer = make_gaussian_optimizer(opt_cfg, spatial_lr_scale, stage2=True)
     return TrainState(params, aux, optimizer.init(params), jnp.int32(0)), optimizer
+
+
+def save_stage2_checkpoint(path: str, state: TrainState, iteration: int):
+    """Mid-run capture of the FULL stage-2 state (params + aux + optax
+    moments + step) ≙ torch.save((gaussians.capture(), iteration)),
+    reference train.py:190-193 + gaussian_model.py:167-209."""
+    from ..utils.checkpoint import save_checkpoint
+    save_checkpoint(path, state, iteration, extra={
+        "kind": "stage2",
+        "n_capacity": int(state.params.n_capacity),
+        "sh_degree": int(state.params.max_sh_degree),
+        "env_shape": [int(s) for s in state.params.env.shape]})
+
+
+def load_stage2_checkpoint(path: str, opt_cfg, spatial_lr_scale: float = 1.0):
+    """Restore a full stage-2 TrainState for in-place resume
+    (≙ gaussians.restore(model_params, opt), reference train.py:52-55).
+    `path` is a chkpnt*.ckpt file or a stage-2 model dir (latest taken).
+    Returns (state, iteration, optimizer)."""
+    import glob
+    import json
+    import os
+
+    from ..scene.gaussians import empty_params
+    from ..utils.checkpoint import load_checkpoint
+
+    if os.path.isdir(path):
+        ckpts = sorted(glob.glob(os.path.join(path, "chkpnt*.ckpt")),
+                       key=lambda p: int("".join(filter(str.isdigit,
+                                                        os.path.basename(p)))))
+        if not ckpts:
+            raise FileNotFoundError(f"no chkpnt*.ckpt under {path}")
+        path = ckpts[-1]
+    with open(path + ".json") as f:
+        manifest = json.load(f)
+    if manifest.get("kind") != "stage2":
+        raise ValueError(f"{path} is not a stage-2 checkpoint "
+                         f"(kind={manifest.get('kind')!r})")
+    params_t, aux_t = empty_params(int(manifest["n_capacity"]),
+                                   int(manifest["sh_degree"]),
+                                   tuple(manifest["env_shape"]))
+    template, optimizer = init_state(params_t, aux_t, opt_cfg, spatial_lr_scale)
+    state, iteration = load_checkpoint(path, template)
+    return state, iteration, optimizer

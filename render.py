@@ -29,7 +29,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("-m", "--model_path", required=True)
     parser.add_argument("--iteration", type=int, default=-1)
-    parser.add_argument("--skip_train", action="store_true", default=True)
+    # ≙ reference render.py:124-129 (--skip_train / --skip_test); train-split
+    # rendering is opt-in via --no-skip_train
+    parser.add_argument("--skip_train", action=argparse.BooleanOptionalAction,
+                        default=True)
+    parser.add_argument("--skip_test", action="store_true", default=False)
     parser.add_argument("--max_images", type=int, default=-1)
     parser.add_argument("--n_devices", type=int, default=1,
                         help="shard the MC sample axis over N devices "
@@ -49,8 +53,14 @@ def main():
 
     info = load_scene(cfg.model.source_path, cfg.model.white_background,
                       eval_split=True, resolution=cfg.model.resolution)
-    cams = info.test_cameras or info.train_cameras
+    splits = []
+    if not args.skip_test:
+        splits.append(("test", info.test_cameras or info.train_cameras))
+    if not args.skip_train:
+        splits.append(("train", info.train_cameras))
+    cams = splits[0][1] if splits else info.train_cameras
     if args.max_images > 0:
+        splits = [(n, cs[:args.max_images]) for n, cs in splits]
         cams = cams[:args.max_images]
     transform = jnp.asarray(LIGHT_ROTATE_TRANSFORM) if info.light_rotate else None
 
@@ -75,44 +85,47 @@ def main():
     render_j = lambda p, g, c: render_ir_eval(
         p, aux, g, c, ecfg, env_transform=transform, mesh=mesh)
 
-    out_dir = os.path.join(args.model_path, "test", f"ours_{it}")
-    os.makedirs(out_dir, exist_ok=True)
     vgg = M.load_vgg16_weights()
-    psnrs, ssims, lpipss = [], [], []
-    for i, cam in enumerate(cams):
-        out = render_j(params, grid, cam.params())
-        render = np.asarray(jnp.clip(out["render"], 0, 1))
-        gt_img = cam.image
-        psnrs.append(float(M.psnr(jnp.asarray(render), jnp.asarray(gt_img))))
-        ssims.append(float(M.ssim(jnp.asarray(render), jnp.asarray(gt_img))))
-        lp = M.lpips_fn(jnp.asarray(render), jnp.asarray(gt_img), vgg)
-        lpipss.append(lp)
-        iio.imwrite(os.path.join(out_dir, f"{cam.image_name}_render.png"),
-                    (render * 255).astype(np.uint8))
-        for k in ("base_color", "roughness", "diffuse", "specular",
-                  "visibility", "light_indirect"):
-            img = np.asarray(jnp.clip(out[k], 0, 1))
-            if img.shape[-1] == 1:
-                img = np.repeat(img, 3, -1)
-            iio.imwrite(os.path.join(out_dir, f"{cam.image_name}_{k}.png"),
-                        (img * 255).astype(np.uint8))
-        print(f"[{i+1}/{len(cams)}] {cam.image_name} psnr={psnrs[-1]:.2f}",
-              flush=True)
+    for split_name, split_cams in splits:
+        out_dir = os.path.join(args.model_path, split_name, f"ours_{it}")
+        os.makedirs(out_dir, exist_ok=True)
+        psnrs, ssims, lpipss = [], [], []
+        for i, cam in enumerate(split_cams):
+            out = render_j(params, grid, cam.params())
+            render = np.asarray(jnp.clip(out["render"], 0, 1))
+            gt_img = cam.image
+            psnrs.append(float(M.psnr(jnp.asarray(render), jnp.asarray(gt_img))))
+            ssims.append(float(M.ssim(jnp.asarray(render), jnp.asarray(gt_img))))
+            lp = M.lpips_fn(jnp.asarray(render), jnp.asarray(gt_img), vgg)
+            lpipss.append(lp)
+            iio.imwrite(os.path.join(out_dir, f"{cam.image_name}_render.png"),
+                        (render * 255).astype(np.uint8))
+            for k in ("base_color", "roughness", "diffuse", "specular",
+                      "visibility", "light_indirect"):
+                img = np.asarray(jnp.clip(out[k], 0, 1))
+                if img.shape[-1] == 1:
+                    img = np.repeat(img, 3, -1)
+                iio.imwrite(os.path.join(out_dir, f"{cam.image_name}_{k}.png"),
+                            (img * 255).astype(np.uint8))
+            print(f"[{split_name} {i+1}/{len(split_cams)}] {cam.image_name} "
+                  f"psnr={psnrs[-1]:.2f}", flush=True)
 
-    results = {
-        "psnr": float(np.mean(psnrs)),
-        "ssim": float(np.mean(ssims)),
-        "lpips": None if lpipss[0] is None else float(np.mean(lpipss)),
-        # reference key aliases (render.py:75-82 writes *_avg) so existing
-        # collect scripts keep working
-        "psnr_avg": float(np.mean(psnrs)),
-        "ssim_avg": float(np.mean(ssims)),
-        "lpips_avg": None if lpipss[0] is None else float(np.mean(lpipss)),
-        "per_image_psnr": psnrs,
-    }
-    with open(os.path.join(args.model_path, "test", "nvs_results.json"), "w") as f:
-        json.dump(results, f, indent=2)
-    print(json.dumps({k: results[k] for k in ("psnr", "ssim", "lpips")}))
+        results = {
+            "psnr": float(np.mean(psnrs)),
+            "ssim": float(np.mean(ssims)),
+            "lpips": None if lpipss[0] is None else float(np.mean(lpipss)),
+            # reference key aliases (render.py:75-82 writes *_avg) so existing
+            # collect scripts keep working
+            "psnr_avg": float(np.mean(psnrs)),
+            "ssim_avg": float(np.mean(ssims)),
+            "lpips_avg": None if lpipss[0] is None else float(np.mean(lpipss)),
+            "per_image_psnr": psnrs,
+        }
+        with open(os.path.join(args.model_path, split_name,
+                               "nvs_results.json"), "w") as f:
+            json.dump(results, f, indent=2)
+        print(split_name,
+              json.dumps({k: results[k] for k in ("psnr", "ssim", "lpips")}))
 
 
 if __name__ == "__main__":

@@ -83,6 +83,33 @@ def test_projection_pixel_mapping():
                                2 * np.array([0, 0, 1.0]), atol=0.02)
 
 
+def test_projection_pixel_mapping_offcenter_K():
+    """K-correct cameras (≙ getProjectionMatrixCorrect, reference
+    utils/graphics_utils.py:106-124): with an off-center principal point the
+    ray grid and the projection must stay consistent — a point marched along
+    the ray through pixel (u, v) projects back to exactly (u, v)."""
+    from irgs_tpu.scene.cameras import Camera
+    W = H = 128
+    fx, fy, cx, cy = 140.0, 150.0, 52.25, 80.5       # deliberately off-center
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+    R = np.eye(3)
+    T = np.array([0.3, -0.2, 3.0])
+    cam = Camera(0, R, T, fovx=0.9, fovy=0.9, image=None, width=W, height=H,
+                 K=K)
+    cp = cam.params()
+    assert float(cp.cx) == cx and float(cp.cy) == cy
+    rays = cp.ray_dirs(W, H, normalize=False)
+    pm = cp.pixmat(W, H)
+    for (u, v) in ((0, 0), (17, 93), (90, 11), (127, 127)):
+        p_world = cp.cam_pos + 2.7 * rays[v, u]
+        hom = pm @ jnp.concatenate([p_world, jnp.ones(1)])
+        px, py = float(hom[0] / hom[2]), float(hom[1] / hom[2])
+        np.testing.assert_allclose([px, py], [u, v], atol=5e-3)
+    # centered pinhole defaults reproduce the old behavior
+    cam0 = Camera(0, R, T, fovx=0.9, fovy=0.9, image=None, width=W, height=H)
+    assert cam0.cx == W / 2 and cam0.cy == H / 2
+
+
 def test_ply_roundtrip(tmp_path):
     n = 17
     rng = np.random.RandomState(0)
@@ -109,3 +136,34 @@ def test_gaussians_ply_roundtrip(tmp_path):
     np.testing.assert_allclose(p2.scaling[:50], params.scaling[:50], atol=1e-6)
     np.testing.assert_allclose(p2.features_rest[:50], params.features_rest[:50], atol=1e-6)
     np.testing.assert_allclose(p2.env, params.env, atol=1e-6)
+
+
+def test_envmap_sidecar_reference_formats(tmp_path):
+    """Reference-layout envmap sidecars (≙ gaussian_model.py:449-468,
+    513-519): the torch `<stem>1.map` loads back bit-identically and the HDR
+    `<stem>1.exr` loads back through the activation inverse."""
+    import os
+
+    from irgs_tpu.scene import gaussians as G
+    pts = np.random.RandomState(1).randn(20, 3).astype(np.float32)
+    cols = np.random.RandomState(2).rand(20, 3).astype(np.float32)
+    params, aux = G.create_from_pcd(pts, cols, n_capacity=32,
+                                    env_resolution=16)
+    import dataclasses
+    params = dataclasses.replace(
+        params, env=jnp.asarray(
+            np.random.RandomState(3).randn(8, 16, 3).astype(np.float32)))
+    path = str(tmp_path / "pc.ply")
+    G.save_ply(path, params, aux)
+    assert os.path.exists(str(tmp_path / "pc1.map"))
+    assert os.path.exists(str(tmp_path / "pc1.exr"))
+
+    # .map fallback: exact raw grid through the reference's torch format
+    os.remove(str(tmp_path / "pc_env.npy"))
+    p_map, _ = G.load_ply(path, n_capacity=32)
+    np.testing.assert_allclose(p_map.env, params.env, atol=0)
+
+    # .exr fallback: activated HDR image inverted back to the raw grid
+    os.remove(str(tmp_path / "pc1.map"))
+    p_exr, _ = G.load_ply(path, n_capacity=32)
+    np.testing.assert_allclose(p_exr.env, params.env, atol=1e-3)

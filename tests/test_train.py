@@ -50,6 +50,66 @@ def test_stage2_step_learns(setup):
     assert np.isfinite(losses).all()
 
 
+def test_stage2_full_image_loss(setup):
+    """Non-train_ray branch (reference train.py:163 else + loss_utils.py:
+    173-175): every fg pixel shaded in chunks, full-image L1+DSSIM."""
+    params, aux, cams, grid, cfg, st = setup
+    st_fi = dataclasses.replace(st, train_ray=False)
+    gt_img = jnp.full((64, 64, 3), 0.4)
+    state, optimizer = s2.init_state(jax.tree.map(jnp.copy, params), aux,
+                                     cfg.opt)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(3):
+        key, k = jax.random.split(key)
+        state, m = s2.stage2_step(state, grid, cams[i % 3].params(), gt_img,
+                                  None, k, st=st_fi, optimizer=optimizer)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all(), losses
+    assert "psnr" in m and np.isfinite(float(m["psnr"]))
+    # the full-image loss moved the materials (grads flowed through chunks)
+    assert float(jnp.abs(state.params.base_color - params.base_color).max()) > 0
+
+
+def test_stage2_checkpoint_resume(tmp_path, setup):
+    """Kill-and-resume reproduces the step stream exactly (≙ reference
+    --start_checkpoint of stage 2 itself, train.py:52-55,190-193)."""
+    params, aux, cams, grid, cfg, st = setup
+    state, optimizer = s2.init_state(jax.tree.map(jnp.copy, params), aux,
+                                     cfg.opt)
+    gt_img = jnp.full((64, 64, 3), 0.4)
+    keys = [jax.random.fold_in(jax.random.PRNGKey(1), i) for i in range(4)]
+    for i in range(2):
+        state, _ = s2.stage2_step(state, grid, cams[0].params(), gt_img,
+                                  None, keys[i], st=st, optimizer=optimizer)
+    path = str(tmp_path / "chkpnt2.ckpt")
+    s2.save_stage2_checkpoint(path, state, 2)
+
+    cont, ms_direct = state, []
+    for i in range(2, 4):
+        cont, m = s2.stage2_step(cont, grid, cams[0].params(), gt_img, None,
+                                 keys[i], st=st, optimizer=optimizer)
+        ms_direct.append(float(m["loss"]))
+
+    resumed, it, opt2 = s2.load_stage2_checkpoint(path, cfg.opt)
+    assert it == 2
+    assert int(resumed.step) == int(state.step)
+    ms_resumed = []
+    for i in range(2, 4):
+        resumed, m = s2.stage2_step(resumed, grid, cams[0].params(), gt_img,
+                                    None, keys[i], st=st, optimizer=opt2)
+        ms_resumed.append(float(m["loss"]))
+    np.testing.assert_allclose(ms_resumed, ms_direct, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(resumed.params.env),
+                               np.asarray(cont.params.env), atol=1e-6)
+    # a stage-1 checkpoint must be rejected by the stage-2 loader
+    s1_path = str(tmp_path / "chkpnt_s1.ckpt")
+    from irgs_tpu.utils.checkpoint import save_checkpoint
+    save_checkpoint(s1_path, state, 1, extra={"kind": "stage1"})
+    with pytest.raises(ValueError):
+        s2.load_stage2_checkpoint(s1_path, cfg.opt)
+
+
 def test_stage1_step_and_densify():
     from irgs_tpu.train import densify as D
     from irgs_tpu.train import stage1_full as s1

@@ -48,8 +48,19 @@ def main():
     parser.add_argument("--start_ply", type=str, default=None,
                         help="stage-1 geometry PLY to start from")
     parser.add_argument("--start_checkpoint", type=str, default=None,
-                        help="stage-1 run dir or chkpnt*.ckpt to restore "
-                             "geometry from (≙ restore_from_refgs)")
+                        help="chkpnt*.ckpt (or run dir; latest taken) to "
+                             "restore from. A stage-2 checkpoint resumes "
+                             "training in place (≙ reference train.py:52-55); "
+                             "a stage-1 checkpoint bridges geometry "
+                             "(≙ restore_from_refgs / "
+                             "--start_checkpoint_refgs)")
+    parser.add_argument("--start_checkpoint_refgs", type=str, default=None,
+                        help="explicit stage-1 checkpoint to bridge from "
+                             "(≙ reference --start_checkpoint_refgs)")
+    parser.add_argument("--checkpoint_interval", type=int, default=5000,
+                        help="save a resumable stage-2 chkpnt<it>.ckpt every "
+                             "N iters (0 = only at the end; ≙ reference "
+                             "checkpoint_iterations, train.py:190-193)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--vis_interval", type=int, default=500,
                         help="save an AOV grid every N iters (0 = off)")
@@ -78,6 +89,25 @@ def main():
         cfg.model.model_path = "/tmp/irgs_tpu_stage2"
     os.makedirs(cfg.model.model_path, exist_ok=True)
     cfg.save()
+
+    # --start_checkpoint dispatch: a stage-2 checkpoint resumes THIS trainer
+    # in place (params + optax moments + step, ≙ reference train.py:52-55);
+    # anything else is a stage-1 bridge (≙ --start_checkpoint_refgs)
+    import glob as _glob
+    s2_resume = None
+    if args.start_checkpoint:
+        cp = args.start_checkpoint
+        if os.path.isdir(cp):
+            cs = sorted(_glob.glob(os.path.join(cp, "chkpnt*.ckpt")),
+                        key=lambda q: int("".join(filter(
+                            str.isdigit, os.path.basename(q)))))
+            cp = cs[-1] if cs else None
+        if cp and os.path.exists(cp + ".json"):
+            with open(cp + ".json") as f:
+                if json.load(f).get("kind") == "stage2":
+                    s2_resume = cp
+    if args.start_checkpoint_refgs:
+        args.start_checkpoint = args.start_checkpoint_refgs
 
     key = jax.random.PRNGKey(args.seed)
 
@@ -200,8 +230,14 @@ def main():
 
     h, w = gt_images[0].shape[:2]
     st = s2.from_configs(cfg, img_w=w, img_h=h)
-    grid = gt.build_grid_from_gaussians(params, aux, st.tracer)
     state, optimizer = s2.init_state(params, aux, cfg.opt)
+    first_iter = 0
+    if s2_resume:
+        state, first_iter, optimizer = s2.load_stage2_checkpoint(
+            s2_resume, cfg.opt)
+        print(f"resumed stage-2 from {s2_resume} @ iter {first_iter}",
+              flush=True)
+    grid = gt.build_grid_from_gaussians(state.params, state.aux, st.tracer)
     cam_params = [c.params() for c in cams]
     gt_dev = [jnp.asarray(g) for g in gt_images]
 
@@ -235,7 +271,7 @@ def main():
     t0 = time.time()
     log_path = os.path.join(cfg.model.model_path, "train_log.jsonl")
     with open(log_path, "a") as logf:
-        for it in range(1, cfg.opt.iterations + 1):
+        for it in range(first_iter + 1, cfg.opt.iterations + 1):
             i = int(order[it % len(cams)])
             if it % len(cams) == 0:
                 order = rng.permutation(len(cams))
@@ -319,6 +355,11 @@ def main():
                 os.makedirs(out_dir, exist_ok=True)
                 G.save_ply(os.path.join(out_dir, "point_cloud.ply"),
                            state.params, state.aux)
+            ci = args.checkpoint_interval
+            if (ci and it % ci == 0) or it == cfg.opt.iterations:
+                s2.save_stage2_checkpoint(
+                    os.path.join(cfg.model.model_path, f"chkpnt{it}.ckpt"),
+                    state, it)
     print("done:", cfg.model.model_path)
 
 

@@ -205,7 +205,8 @@ def main():
         if it % 10000 == 0 or it == opt.iterations:
             save_checkpoint(os.path.join(cfg.model.model_path, f"chkpnt{it}.ckpt"),
                             state, it,
-                            extra=dict(n_capacity=int(state.params.n_capacity),
+                            extra=dict(kind="stage1",
+                                       n_capacity=int(state.params.n_capacity),
                                        sh_degree=int(cfg.model.sh_degree),
                                        env_res=int(state.params.env1.shape[1])))
     print("done:", cfg.model.model_path)
