@@ -19,7 +19,11 @@ def find_gt_map(source_path, subdir, name):
     if not os.path.isdir(d):
         return None
     base = os.path.basename(name).split(".")[0]
-    for f in os.listdir(d):
+    # exact stem first (r_1 must not match r_10.png), substring fallback
+    for f in sorted(os.listdir(d)):
+        if os.path.splitext(f)[0] == base:
+            return os.path.join(d, f)
+    for f in sorted(os.listdir(d)):
         if base in f:
             return os.path.join(d, f)
     return None
@@ -61,6 +65,14 @@ def main():
     cams = info.train_cameras if args.compute_scale else (info.test_cameras or info.train_cameras)
     h, w = cams[0].height, cams[0].width
 
+    def load_gt_map(path):
+        """GT map resized to the eval resolution (the dataset may be at
+        native 800^2 while the model trained/evals at -r 2 = 400^2)."""
+        img = jnp.asarray(_load_image_any(path))
+        if img.shape[:2] != (h, w):
+            img = jax.image.resize(img, (h, w) + img.shape[2:], "bilinear")
+        return img
+
     # material maps only need the rasterized G-buffer (material_only path,
     # render_ir __init__.py:177-192)
     @jax.jit
@@ -81,7 +93,7 @@ def main():
                                cam.image_name)
             if path is None:
                 continue
-            gt_albedo = _load_image_any(path)[..., :3]
+            gt_albedo = load_gt_map(path)[..., :3]
             base, _, alpha = material_maps(params, cam.params())
             m = np.asarray(alpha) > 0.5
             if cam.mask is not None:
@@ -110,7 +122,7 @@ def main():
         apath = find_gt_map(cfg.model.source_path, args.albedo_subdir, cam.image_name)
         if apath is None:
             continue
-        gt_albedo = srgb_to_rgb(jnp.asarray(_load_image_any(apath)[..., :3]))
+        gt_albedo = srgb_to_rgb(load_gt_map(apath)[..., :3])
         base, rough, alpha = material_maps(params, cam.params())
         pred = rgb_to_srgb(base * scale[None, None]) * alpha[..., None]
         gt_img = rgb_to_srgb(gt_albedo) * alpha[..., None]
@@ -118,7 +130,7 @@ def main():
         ssim_a.append(float(M.ssim(pred, gt_img)))
         rpath = find_gt_map(cfg.model.source_path, args.roughness_subdir, cam.image_name)
         if rpath is not None:
-            gt_rough = jnp.asarray(_load_image_any(rpath)[..., :1])
+            gt_rough = load_gt_map(rpath)[..., :1]
             psnr_r.append(float(M.psnr(rough * alpha[..., None],
                                        gt_rough * alpha[..., None])))
     results = {"psnr_albedo": float(np.mean(psnr_a)) if psnr_a else None,

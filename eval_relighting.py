@@ -143,6 +143,33 @@ def main():
         img = rgb_to_srgb(re["diffuse"] + re["specular"]) * alpha
         return img, alpha
 
+    def per_env_gt(name, cam):
+        """Relit GT for this envmap: the reference loads
+        `source_path/<MAP_NAME>/<frame>.png` (eval_relighting_syn4.py:149-151,
+        MAP_NAME from the environment). We probe MAP_NAME first, then the
+        envmap stem as the directory name (the Syn4Relight layout), and fall
+        back to the camera's training-illumination image (→ None here so the
+        caller knows it is NOT relit GT). Returns (rgb*mask, mask) resized to
+        the render resolution, mirroring the reference's bilinear resize +
+        gt*mask composite (eval_relighting_syn4.py:163-173)."""
+        for sub in (os.environ.get("MAP_NAME", ""), name):
+            if not sub:
+                continue
+            p = os.path.join(cfg.model.source_path, sub,
+                             f"{cam.image_name}.png")
+            if not os.path.exists(p):
+                continue
+            rgba = _load_image_any(p)
+            rgb = jnp.asarray(rgba[..., :3])
+            mask = (jnp.asarray(rgba[..., 3:4]) if rgba.shape[-1] == 4
+                    else jnp.ones_like(rgb[..., :1]))
+            if rgb.shape[:2] != (h, w):
+                rgb = jax.image.resize(rgb, (h, w, 3), "bilinear")
+                mask = jax.image.resize(mask, (h, w, 1), "bilinear")
+            return rgb * mask, mask
+        return None, None
+
+    bg = 1.0 if cfg.model.white_background else 0.0
     results = {}
     out_root = os.path.join(args.model_path, "relight")
     for env_path in args.envmaps:
@@ -151,13 +178,27 @@ def main():
         env = relight.build_relight_env(hdr, transform=transform)
         out_dir = os.path.join(out_root, name)
         os.makedirs(out_dir, exist_ok=True)
-        psnrs, ssims = [], []
+        psnrs, ssims, lpipss = [], [], []
         for cam in cams:
             img, alpha = render_j(params, grid, cam.params(), env)
-            if not args.no_metrics and cam.image is not None:
-                gt_img = jnp.asarray(cam.image)
-                psnrs.append(float(M.psnr(img, gt_img)))
-                ssims.append(float(M.ssim(img, gt_img)))
+            if not args.no_metrics:
+                gt_img, gt_mask = per_env_gt(name, cam)
+                if gt_img is not None:
+                    # ≙ reference render*mask + (1-mask)*bg vs gt*mask
+                    cmp_img = img * gt_mask + (1 - gt_mask) * bg
+                elif cam.image is not None:
+                    gt_img, cmp_img = jnp.asarray(cam.image), img
+                if gt_img is not None:
+                    psnrs.append(float(M.psnr(cmp_img, gt_img)))
+                    ssims.append(float(M.ssim(cmp_img, gt_img)))
+                    lp = M.lpips_fn(cmp_img, gt_img)
+                    if lp is not None:
+                        lpipss.append(lp)
+                    os.makedirs(os.path.join(out_dir, "gt"), exist_ok=True)
+                    iio.imwrite(
+                        os.path.join(out_dir, "gt", f"{cam.image_name}.png"),
+                        (np.clip(np.asarray(gt_img), 0, 1) * 255
+                         ).astype(np.uint8))
             iio.imwrite(os.path.join(out_dir, f"{cam.image_name}.png"),
                         (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8))
             if args.save_env_composite:
@@ -172,16 +213,22 @@ def main():
                     os.path.join(out_dir, f"{cam.image_name}_env.png"),
                     (np.clip(np.asarray(comp), 0, 1) * 255).astype(np.uint8))
         if psnrs:
-            results[name] = {"psnr": float(np.mean(psnrs)),
-                             "ssim": float(np.mean(ssims))}
+            # reference key names: eval_relighting_syn4.py:214-222
+            results[name] = {
+                "psnr_pbr": float(np.mean(psnrs)),
+                "ssim_pbr": float(np.mean(ssims)),
+                "lpips_pbr": float(np.mean(lpipss)) if lpipss else None,
+            }
             print(name, results[name], flush=True)
 
-    results["average"] = {
-        k: float(np.mean([r[k] for r in results.values() if k in r]))
-        for k in ("psnr", "ssim")}
+    envs = [r for r in results.values() if isinstance(r, dict)]
+    for k in ("psnr_pbr", "ssim_pbr", "lpips_pbr"):
+        vals = [r[k] for r in envs if r.get(k) is not None]
+        results[f"{k}_avg"] = float(np.mean(vals)) if vals else None
     with open(os.path.join(args.model_path, "relighting_results.json"), "w") as f:
         json.dump(results, f, indent=2)
-    print(json.dumps(results["average"]))
+    print(json.dumps({k: results[f"{k}_avg"]
+                      for k in ("psnr_pbr", "ssim_pbr", "lpips_pbr")}))
 
 
 if __name__ == "__main__":

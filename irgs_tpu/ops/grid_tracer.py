@@ -1464,16 +1464,30 @@ def retrace_pass(out: TraceOut, hits: SelectedHits, ray_o, ray_d, grid: Grid,
     need = hits.more & (jax.lax.stop_gradient(out.trans)
                         > cfg.transmittance_min)
     if cfg.adaptive:
-        # skip the whole round when nothing needs it (lax.cond executes one
-        # branch on TPU): at eval, chunks whose rays all saturated or
-        # escaped pay nothing for the wide re-trace budgets
-        def _run(_):
-            return _retrace_body(out, hits, need, ray_o, ray_d, grid, inputs,
-                                 cfg, sh_deg, capacity, back_culling,
-                                 pair_tab=pair_tab)
+        # CAPACITY LADDER: run the round at the smallest precompiled
+        # capacity that fits the actual demand (lax.switch executes ONE
+        # branch on TPU). Result-identical to always running at full
+        # capacity: top_k compaction places every needy ray before the
+        # padding slots, and padding contributions are `picked`-masked to
+        # zero — capacity beyond the need count is pure wasted compute.
+        # Rung 0 skips the round entirely (≙ the old any(need) cond).
+        rungs = sorted({max(1024, capacity // 16),
+                        max(1024, capacity // 4), capacity})
+        rungs = [c for c in rungs if c <= capacity] or [capacity]
 
-        return jax.lax.cond(jnp.any(need), _run,
-                            lambda _: (out, hits), operand=None)
+        def make_branch(c):
+            def _run(_):
+                return _retrace_body(out, hits, need, ray_o, ray_d, grid,
+                                     inputs, cfg, sh_deg, c, back_culling,
+                                     pair_tab=pair_tab)
+            return _run
+
+        branches = [lambda _: (out, hits)] + [make_branch(c) for c in rungs]
+        n_need = jnp.sum(need)
+        sel = (n_need > 0).astype(jnp.int32)
+        for c in rungs[:-1]:
+            sel = sel + (n_need > c).astype(jnp.int32)
+        return jax.lax.switch(sel, branches, operand=None)
     return _retrace_body(out, hits, need, ray_o, ray_d, grid, inputs, cfg,
                          sh_deg, capacity, back_culling, pair_tab=pair_tab)
 

@@ -27,6 +27,7 @@ import numpy as np
 
 from ..utils import math3d, sh as sh_utils
 from ..utils.ply import read_ply, structured_from_dict, write_ply
+from . import envlight
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -113,7 +114,8 @@ def create_from_pcd(points: np.ndarray, colors: np.ndarray, n_capacity: int,
                     env_init_value: float = 1.5,
                     init_base_color: float = 0.5, init_metallic: float = 0.5,
                     init_roughness: float = 0.5,
-                    knn_dist2: np.ndarray | None = None):
+                    knn_dist2: np.ndarray | None = None,
+                    env_activation: str = "exp"):
     """Initialize from a point cloud (≙ GaussianModel.create_from_pcd,
     scene/gaussian_model.py:339-373), padded to static capacity."""
     from ..ops.knn import mean_knn_dist2
@@ -151,8 +153,15 @@ def create_from_pcd(points: np.ndarray, colors: np.ndarray, n_capacity: int,
         scaling=pad(scales, fill=-10.0),
         rotation=pad(rng.rand(n, 4).astype(np.float32), fill=1.0),
         opacity=pad(np.full((n, 1), float(math3d.inverse_sigmoid(jnp.float32(0.1)))), fill=-12.0),
-        env=jnp.full((env_resolution // 2, env_resolution, 3),
-                     np.log(env_init_value), jnp.float32),
+        # activation-aware env init: exp/sigmoid/none get the constant raw
+        # grid whose activation equals env_init_value (≙ EnvLight.__init__,
+        # light.py:141-149); softplus gets DirectLightMap's uniform-random
+        # raw grid (light.py:384-386) — the trainable direct-light variant
+        env=(envlight.init_direct_light(
+                 jax.random.PRNGKey(0), max_res=env_resolution // 2)
+             if env_activation == "softplus"
+             else envlight.init_env(env_resolution, env_init_value,
+                                    env_activation)),
         max_sh_degree=max_sh_degree,
     )
     aux = GaussianAux(
@@ -192,7 +201,8 @@ def empty_params(n_capacity: int, max_sh_degree: int = 3,
 # (construct_list_of_attributes, scene/gaussian_model.py:409-424)
 # ---------------------------------------------------------------------------
 
-def save_ply(path: str, params: GaussianParams, aux: GaussianAux) -> None:
+def save_ply(path: str, params: GaussianParams, aux: GaussianAux,
+             env_activation: str = "exp") -> None:
     alive = np.asarray(aux.alive)
     sel = lambda x: np.asarray(x)[alive]
     fields = {}
@@ -228,11 +238,13 @@ def save_ply(path: str, params: GaussianParams, aux: GaussianAux) -> None:
     np.save(path.replace(".ply", "_env.npy"), env_raw)
     from ..utils.exr import write_exr
     write_exr(path.replace(".ply", "1.exr"),
-              np.exp(env_raw).astype(np.float32))
+              np.asarray(envlight.activate(jnp.asarray(env_raw),
+                                           env_activation), np.float32))
     try:
         import torch
         torch.save({"state_dict": {"base": torch.from_numpy(env_raw.copy())},
-                    "activation": "exp"}, path.replace(".ply", "1.map"))
+                    "activation": env_activation},
+                   path.replace(".ply", "1.map"))
     except ImportError:
         pass
 

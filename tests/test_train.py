@@ -268,6 +268,32 @@ def test_softplus_direct_light():
     assert (np.asarray(vals) > 0).all()   # softplus is strictly positive
 
 
+def test_softplus_env_wiring(tmp_path):
+    """DirectLightMap wired end-to-end (light.py:379-406): create_from_pcd
+    with env_activation=softplus gets the uniform-random raw grid, and
+    save_ply's sidecars carry the softplus-activated EXR + activation tag."""
+    import irgs_tpu.scene.gaussians as G
+    from irgs_tpu.scene import envlight
+    from irgs_tpu.utils.exr import read_exr_rgb
+
+    pts = np.random.RandomState(0).randn(32, 3).astype(np.float32)
+    cols = np.full((32, 3), 0.5, np.float32)
+    params, aux = G.create_from_pcd(pts, cols, 64, env_resolution=16,
+                                    env_activation="softplus")
+    assert params.env.shape == (8, 16, 3)
+    # random (not constant) raw init ≙ DirectLightMap.__init__
+    assert float(jnp.std(params.env)) > 1e-3
+    path = str(tmp_path / "pc.ply")
+    G.save_ply(path, params, aux, env_activation="softplus")
+    exr = read_exr_rgb(str(tmp_path / "pc1.exr"))
+    np.testing.assert_allclose(
+        exr, np.asarray(envlight.activate(params.env, "softplus")),
+        rtol=1e-5, atol=1e-6)
+    import torch
+    m = torch.load(str(tmp_path / "pc1.map"), weights_only=True)
+    assert m["activation"] == "softplus"
+
+
 def test_checkpoint_roundtrip(tmp_path, setup):
     params, aux, cams, grid, cfg, st = setup
     from irgs_tpu.utils.checkpoint import load_checkpoint, save_checkpoint

@@ -13,12 +13,20 @@ SERIAL between DP steps.
 Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
      python tools/_prof_dp_grid.py
 """
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
 import jax
+
+# the axon plugin ignores the JAX_PLATFORMS env var; force via config
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 

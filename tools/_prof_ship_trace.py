@@ -53,6 +53,19 @@ for ev in (False, True):
     name = "SHIP_eval" if ev else "SHIP_train"
     variants.append((name, tc))
     variants.append((name + "_bf16", dataclasses.replace(tc, table_bf16=True)))
+# eval ladder A/B at equal lane budgets: tile width 64 (half the gather
+# rows), top_k k-buffer extraction, and both
+tc_e = gt.TracerConfig.from_pipe(Config().pipe, eval=True)
+variants += [
+    ("EVAL_tile64", dataclasses.replace(
+        tc_e, tile=64, select_tiles=tc_e.select_tiles // 2,
+        retrace_select_tiles=tc_e.retrace_select_tiles // 2)),
+    ("EVAL_topk", dataclasses.replace(tc_e, select_topk=True)),
+    ("EVAL_tile64_topk_bf16", dataclasses.replace(
+        tc_e, tile=64, select_tiles=tc_e.select_tiles // 2,
+        retrace_select_tiles=tc_e.retrace_select_tiles // 2,
+        select_topk=True, table_bf16=True)),
+]
 
 for name, tc in variants:
     fn = ir.make_trace_fn(params, aux, grid, tc, jnp.zeros(3), 3)

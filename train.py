@@ -215,7 +215,8 @@ def main():
             params, aux = G.create_from_pcd(
                 info.points, info.colors, cfg.model.max_gaussians,
                 cfg.model.sh_degree, cfg.model.envmap_resolution,
-                cfg.model.envmap_init_value)
+                cfg.model.envmap_init_value,
+                env_activation=cfg.model.envmap_activation)
         # reset materials to init values (train.py:62-72)
         import dataclasses
         from irgs_tpu.utils.math3d import inverse_sigmoid
@@ -345,16 +346,19 @@ def main():
                 panels["gt"] = np.asarray(gt_dev[0])
                 save_aov_grid(os.path.join(cfg.model.model_path, "vis",
                                            f"iter_{it:06d}.png"), panels)
+                from irgs_tpu.scene import envlight as EL
                 save_envmap_png(
                     os.path.join(cfg.model.model_path, "vis",
                                  f"env_{it:06d}.png"),
-                    jnp.exp(state.params.env))
+                    EL.activate(state.params.env,
+                                cfg.model.envmap_activation))
             if it % 5000 == 0 or it == cfg.opt.iterations:
                 out_dir = os.path.join(cfg.model.model_path, "point_cloud",
                                        f"iteration_{it}")
                 os.makedirs(out_dir, exist_ok=True)
                 G.save_ply(os.path.join(out_dir, "point_cloud.ply"),
-                           state.params, state.aux)
+                           state.params, state.aux,
+                           env_activation=cfg.model.envmap_activation)
             ci = args.checkpoint_interval
             if (ci and it % ci == 0) or it == cfg.opt.iterations:
                 s2.save_stage2_checkpoint(
