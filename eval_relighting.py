@@ -97,7 +97,18 @@ def main():
         return raster, maps
 
     @jax.jit
-    def shade_chunk_j(px_c, params, grid, cam_pos, env: relight.RelightEnv):
+    def diffuse_cache_j(px_c, params, grid, cam_pos):
+        # envmap-independent half: traced ONCE per view chunk, shared by
+        # every relighting envmap (relight.DiffuseTraceCache)
+        trace_fn = ir.make_trace_fn(params, aux, grid, tracer_cfg,
+                                    cam_pos, cfg.model.sh_degree,
+                                    with_materials=True)
+        return relight.trace_diffuse_cache(
+            px_c["normal"], px_c["points"], trace_fn, shade_cfg)
+
+    @jax.jit
+    def shade_chunk_j(px_c, cache_c, params, grid, cam_pos,
+                      env: relight.RelightEnv):
         trace_fn = ir.make_trace_fn(params, aux, grid, tracer_cfg,
                                     cam_pos, cfg.model.sh_degree,
                                     with_materials=True)
@@ -105,12 +116,15 @@ def main():
             px_c["base"], px_c["rough"], px_c["normal"], px_c["points"],
             px_c["wo"], env, trace_fn, shade_cfg, fg_lut,
             wo_indirect_relight=cfg.pipe.wo_indirect_relight,
-            pixel_ids=px_c["pid"][:, 0])
+            pixel_ids=px_c["pid"][:, 0], diffuse_cache=cache_c)
 
-    def render_j(params, grid, cam, env: relight.RelightEnv):
-        # foreground-compacted chunk loop (≙ reference eval pixel set
-        # mask = render_alpha[0] > 0, gaussian_renderer/__init__.py:215-216):
-        # only fg pixels pay the MC budget, one jitted dispatch per chunk
+    def render_all_envs_j(params, grid, cam, envs):
+        """One view under EVERY envmap: foreground-compacted chunk loop
+        (≙ reference eval pixel set mask = render_alpha[0] > 0,
+        gaussian_renderer/__init__.py:215-216), with the diffuse-half trace
+        computed once per chunk and shared across envmaps — only the
+        per-env light-importance samples re-trace. Returns
+        ([img per env], alpha)."""
         raster, maps = gbuffer_j(params, cam)
         alpha = maps["alpha"]
         flat = lambda x: x.reshape(-1, x.shape[-1])
@@ -128,20 +142,27 @@ def main():
         idx = np.zeros(n_chunks * pix_chunk, np.int32)
         idx[:n_fg] = fg
         px = {k: v[jnp.asarray(idx)] for k, v in px.items()}
-        outs = []
+        outs = [[] for _ in envs]
         for c in range(n_chunks):
             px_c = {k: v[c * pix_chunk:(c + 1) * pix_chunk]
                     for k, v in px.items()}
-            re_c = shade_chunk_j(px_c, params, grid, cam.cam_pos, env)
-            outs.append({k: np.asarray(v) for k, v in re_c.items()})
-        re = {}
-        for k in ("diffuse", "specular"):
-            acc = np.concatenate([o[k] for o in outs])[:n_fg]
-            buf = np.zeros((n_px, acc.shape[-1]), np.float32)
-            buf[fg] = acc
-            re[k] = jnp.asarray(buf.reshape(h, w, -1))
-        img = rgb_to_srgb(re["diffuse"] + re["specular"]) * alpha
-        return img, alpha
+            cache_c = diffuse_cache_j(px_c, params, grid, cam.cam_pos)
+            for e, env in enumerate(envs):
+                re_c = shade_chunk_j(px_c, cache_c, params, grid,
+                                     cam.cam_pos, env)
+                # sync per chunk: bounds queue depth, frames resumable
+                outs[e].append({k: np.asarray(re_c[k])
+                                for k in ("diffuse", "specular")})
+        imgs = []
+        for e in range(len(envs)):
+            re = {}
+            for k in ("diffuse", "specular"):
+                acc = np.concatenate([o[k] for o in outs[e]])[:n_fg]
+                buf = np.zeros((n_px, acc.shape[-1]), np.float32)
+                buf[fg] = acc
+                re[k] = jnp.asarray(buf.reshape(h, w, -1))
+            imgs.append(rgb_to_srgb(re["diffuse"] + re["specular"]) * alpha)
+        return imgs, alpha
 
     def per_env_gt(name, cam):
         """Relit GT for this envmap: the reference loads
@@ -169,31 +190,37 @@ def main():
             return rgb * mask, mask
         return None, None
 
-    bg = 1.0 if cfg.model.white_background else 0.0
+    bg_val = 1.0 if cfg.model.white_background else 0.0
     results = {}
     out_root = os.path.join(args.model_path, "relight")
+    env_list = []
     for env_path in args.envmaps:
         name = os.path.splitext(os.path.basename(env_path))[0]
         hdr = jnp.asarray(_load_image_any(env_path)[..., :3])
         env = relight.build_relight_env(hdr, transform=transform)
         out_dir = os.path.join(out_root, name)
         os.makedirs(out_dir, exist_ok=True)
-        psnrs, ssims, lpipss = [], [], []
-        for cam in cams:
-            img, alpha = render_j(params, grid, cam.params(), env)
+        env_list.append((name, env, out_dir))
+    acc = {name: {"psnr": [], "ssim": [], "lpips": []}
+           for name, _, _ in env_list}
+    for cam in cams:
+        imgs, alpha = render_all_envs_j(params, grid, cam.params(),
+                                        [e for _, e, _ in env_list])
+        for (name, env, out_dir), img in zip(env_list, imgs):
             if not args.no_metrics:
                 gt_img, gt_mask = per_env_gt(name, cam)
+                cmp_img = None
                 if gt_img is not None:
                     # ≙ reference render*mask + (1-mask)*bg vs gt*mask
-                    cmp_img = img * gt_mask + (1 - gt_mask) * bg
+                    cmp_img = img * gt_mask + (1 - gt_mask) * bg_val
                 elif cam.image is not None:
                     gt_img, cmp_img = jnp.asarray(cam.image), img
                 if gt_img is not None:
-                    psnrs.append(float(M.psnr(cmp_img, gt_img)))
-                    ssims.append(float(M.ssim(cmp_img, gt_img)))
+                    acc[name]["psnr"].append(float(M.psnr(cmp_img, gt_img)))
+                    acc[name]["ssim"].append(float(M.ssim(cmp_img, gt_img)))
                     lp = M.lpips_fn(cmp_img, gt_img)
                     if lp is not None:
-                        lpipss.append(lp)
+                        acc[name]["lpips"].append(lp)
                     os.makedirs(os.path.join(out_dir, "gt"), exist_ok=True)
                     iio.imwrite(
                         os.path.join(out_dir, "gt", f"{cam.image_name}.png"),
@@ -206,18 +233,21 @@ def main():
                 # (≙ enerf 'render_env': bg = srgb(env(ray_dir)))
                 from irgs_tpu.render.relight import env_query
                 rays = cam.params().ray_dirs(w, h, normalize=True)
-                bg = rgb_to_srgb(env_query(env, rays.reshape(-1, 3))
-                                 ).reshape(h, w, 3)
-                comp = img + jnp.clip(bg, 0, 1) * (1 - alpha)
+                env_bg = rgb_to_srgb(env_query(env, rays.reshape(-1, 3))
+                                     ).reshape(h, w, 3)
+                comp = img + jnp.clip(env_bg, 0, 1) * (1 - alpha)
                 iio.imwrite(
                     os.path.join(out_dir, f"{cam.image_name}_env.png"),
                     (np.clip(np.asarray(comp), 0, 1) * 255).astype(np.uint8))
-        if psnrs:
+        print(f"[{cam.image_name}] done ({len(env_list)} envs)", flush=True)
+    for name, _, _ in env_list:
+        if acc[name]["psnr"]:
             # reference key names: eval_relighting_syn4.py:214-222
             results[name] = {
-                "psnr_pbr": float(np.mean(psnrs)),
-                "ssim_pbr": float(np.mean(ssims)),
-                "lpips_pbr": float(np.mean(lpipss)) if lpipss else None,
+                "psnr_pbr": float(np.mean(acc[name]["psnr"])),
+                "ssim_pbr": float(np.mean(acc[name]["ssim"])),
+                "lpips_pbr": (float(np.mean(acc[name]["lpips"]))
+                              if acc[name]["lpips"] else None),
             }
             print(name, results[name], flush=True)
 

@@ -59,14 +59,58 @@ def env_query(env: RelightEnv, dirs, mode: str = "pure_env", roughness=None):
     raise ValueError(mode)
 
 
+class _TraceLike(NamedTuple):
+    """The subset of gt.TraceOut the relight shading consumes."""
+    alpha: jnp.ndarray
+    normal: jnp.ndarray
+    feature: jnp.ndarray
+
+
+class DiffuseTraceCache(NamedTuple):
+    """Envmap-INDEPENDENT half of relight shading, computed once per view
+    and reused across every relighting envmap: the deterministic fibonacci
+    hemisphere directions plus their trace results. Valid because relight
+    trace_fn returns geometry + MATERIALS of the hits (not radiance), so
+    nothing traced depends on the lighting — only the per-env shading does.
+    (The reference re-traces all samples per envmap,
+    eval_relighting_syn4.py:188-193; this halves+ the relight eval cost
+    for multi-envmap grids.) Light-importance samples still trace per env
+    (their directions follow each env's pdf)."""
+    dirs: jnp.ndarray            # [B, s_d, 3]
+    areas: jnp.ndarray           # [B, s_d, 1] raw fibonacci areas
+    alpha: jnp.ndarray           # [B, s_d]
+    normal: jnp.ndarray          # [B, s_d, 3]
+    feature: jnp.ndarray         # [B, s_d, 4] premultiplied base|rough
+
+
+def trace_diffuse_cache(normals, position, trace_fn, cfg: ir.ShadeConfig,
+                        key=None) -> DiffuseTraceCache:
+    """Trace the diffuse (cosine-hemisphere fibonacci) half of the relight
+    sample set. Deterministic at eval (key=None)."""
+    from .sampling import fibonacci_sphere_sampling
+
+    dirs, areas = fibonacci_sphere_sampling(
+        normals, cfg.diffuse_sample_num, key=key if cfg.training else None)
+    rays_o = position[:, None] + dirs * cfg.light_t_min
+    out = trace_fn(rays_o, dirs)
+    return DiffuseTraceCache(dirs=dirs, areas=areas, alpha=out.alpha,
+                             normal=out.normal, feature=out.feature[..., :4])
+
+
 def rendering_equation_relight(base_color, roughness, normals, position,
                                viewdirs, env: RelightEnv, trace_fn,
                                cfg: ir.ShadeConfig, fg_lut, key=None,
                                f0: float = 0.02, wo_indirect_relight: bool = False,
-                               pixel_ids=None):
+                               pixel_ids=None,
+                               diffuse_cache: DiffuseTraceCache | None = None):
     """Relight MC shading at [B] surface points. trace_fn must return
     materials in TraceOut.feature[..., :4] = (base_color, roughness)
-    (≙ pc.trace with features, __init__.py:363-364)."""
+    (≙ pc.trace with features, __init__.py:363-364).
+
+    `diffuse_cache`: optional per-view cache from trace_diffuse_cache —
+    skips re-tracing the env-independent diffuse half (the light-importance
+    half still traces against THIS env's pdf). Bitwise-identical to the
+    uncached path at eval (deterministic fibonacci dirs)."""
     from .sampling import fibonacci_sphere_sampling
 
     b = base_color.shape[0]
@@ -79,8 +123,12 @@ def rendering_equation_relight(base_color, roughness, normals, position,
         kd = kl = None
         if key is not None:
             kd, kl = jax.random.split(key)
-        diffuse_dirs, diffuse_areas = fibonacci_sphere_sampling(
-            normals, s_d, key=kd if cfg.training else None)
+        if diffuse_cache is not None:
+            diffuse_dirs, diffuse_areas = (diffuse_cache.dirs,
+                                           diffuse_cache.areas)
+        else:
+            diffuse_dirs, diffuse_areas = fibonacci_sphere_sampling(
+                normals, s_d, key=kd if cfg.training else None)
         diffuse_pdfs = 1.0 / diffuse_areas
         light_dirs, light_pdfs = envlight.sample_light_dirs(
             kl if kl is not None else jax.random.PRNGKey(0), env.pdf, b, s_l,
@@ -92,13 +140,30 @@ def rendering_equation_relight(base_color, roughness, normals, position,
         incident_areas = 1.0 / jnp.maximum(
             jnp.concatenate([diffuse_pdfs, light_pdfs], axis=1), 1e-6)
     else:
-        incident_dirs, incident_areas = fibonacci_sphere_sampling(
-            normals, s_d, key=key if cfg.training else None)
+        if diffuse_cache is not None:
+            incident_dirs = diffuse_cache.dirs
+            incident_areas = diffuse_cache.areas
+        else:
+            incident_dirs, incident_areas = fibonacci_sphere_sampling(
+                normals, s_d, key=key if cfg.training else None)
 
     global_incident = env_query(env, incident_dirs, "pure_env")
 
-    rays_o = position[:, None] + incident_dirs * cfg.light_t_min
-    trace_out = trace_fn(rays_o, incident_dirs)
+    if diffuse_cache is not None and s_l > 0:
+        rays_o = position[:, None] + light_dirs * cfg.light_t_min
+        lt = trace_fn(rays_o, light_dirs)
+        trace_out = _TraceLike(
+            alpha=jnp.concatenate([diffuse_cache.alpha, lt.alpha], axis=1),
+            normal=jnp.concatenate([diffuse_cache.normal, lt.normal], axis=1),
+            feature=jnp.concatenate(
+                [diffuse_cache.feature, lt.feature[..., :4]], axis=1))
+    elif diffuse_cache is not None:
+        trace_out = _TraceLike(alpha=diffuse_cache.alpha,
+                                 normal=diffuse_cache.normal,
+                                 feature=diffuse_cache.feature)
+    else:
+        rays_o = position[:, None] + incident_dirs * cfg.light_t_min
+        trace_out = trace_fn(rays_o, incident_dirs)
     trace_alpha = trace_out.alpha[..., None]
     incident_visibility = 1.0 - trace_alpha
     trace_feature = trace_out.feature / jnp.maximum(trace_alpha, 1e-6)

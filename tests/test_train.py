@@ -197,6 +197,23 @@ def test_relight_equation_smoke(setup):
         assert np.isfinite(np.asarray(v)).all(), k
     assert float(out["light_direct"].mean()) > 0
 
+    # diffuse-trace cache (shared across relight envmaps) must reproduce
+    # the uncached path exactly at eval (deterministic fibonacci dirs)
+    cache = relight.trace_diffuse_cache(normals, pts, tf, shade)
+    out_c = relight.rendering_equation_relight(
+        jnp.full((b, 3), 0.5), jnp.full((b, 1), 0.5), normals, pts, normals,
+        env, tf, shade, fg_lut, diffuse_cache=cache)
+    for k in out:
+        np.testing.assert_allclose(np.asarray(out_c[k]), np.asarray(out[k]),
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
+    # and a second env reusing the SAME cache stays finite (the multi-env
+    # loop eval_relighting.py runs)
+    env2 = relight.build_relight_env(hdr * 0.3 + 0.1, max_res=32)
+    out2 = relight.rendering_equation_relight(
+        jnp.full((b, 3), 0.5), jnp.full((b, 1), 0.5), normals, pts, normals,
+        env2, tf, shade, fg_lut, diffuse_cache=cache)
+    assert np.isfinite(np.asarray(out2["diffuse"])).all()
+
 
 def toy_env():
     import numpy as np

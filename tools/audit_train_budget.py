@@ -32,6 +32,9 @@ ap.add_argument("--tile64", action="store_true",
                      "candidate coverage)")
 ap.add_argument("--only", type=str, default="",
                 help="run only variants whose name contains this substring")
+ap.add_argument("--bf16", action="store_true",
+                help="audit the bf16 pair table + top-k extraction ladder "
+                     "(the round-4 eval speed candidates)")
 ap.add_argument("--t32", action="store_true",
                 help="repair ladder for the t32-direct defaults: more "
                      "tiles / more segments to recover oracle-exactness")
@@ -146,6 +149,13 @@ variants += [] if not args.tile64 else [
     (f"eval tile64 x{st}/r{rt}", dataclasses.replace(
         eval_tc, tile=64, select_tiles=st, retrace_select_tiles=rt))
     for st, rt in ((12, 24), (16, 24), (16, 32))
+]
+variants += [] if not args.bf16 else [
+    ("train bf16", dataclasses.replace(train_tc, table_bf16=True)),
+    ("eval bf16", dataclasses.replace(eval_tc, table_bf16=True)),
+    ("eval topk", dataclasses.replace(eval_tc, select_topk=True)),
+    ("eval bf16 topk", dataclasses.replace(
+        eval_tc, table_bf16=True, select_topk=True)),
 ]
 if args.only:
     variants = [(n, tc) for n, tc in variants if args.only in n]

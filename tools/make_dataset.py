@@ -41,6 +41,12 @@ import types
 sys.path.insert(0, "/root/repo")
 
 import jax
+
+# the axon TPU plugin ignores the JAX_PLATFORMS env var; honor it here so
+# CPU smoke runs do not grab (and fault) the single TPU chip
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
 
