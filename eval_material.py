@@ -58,7 +58,8 @@ def main():
     it = args.iteration if args.iteration > 0 else iters[-1]
     params, aux = G.load_ply(
         os.path.join(pc_dir, f"iteration_{it}", "point_cloud.ply"),
-        cfg.model.max_gaussians, cfg.model.sh_degree)
+        cfg.model.max_gaussians, cfg.model.sh_degree,
+        env_activation=cfg.model.envmap_activation)
 
     info = load_scene(cfg.model.source_path, cfg.model.white_background, True,
                       resolution=cfg.model.resolution)

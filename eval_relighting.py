@@ -57,7 +57,8 @@ def main():
     it = args.iteration if args.iteration > 0 else iters[-1]
     params, aux = G.load_ply(
         os.path.join(pc_dir, f"iteration_{it}", "point_cloud.ply"),
-        cfg.model.max_gaussians, cfg.model.sh_degree)
+        cfg.model.max_gaussians, cfg.model.sh_degree,
+        env_activation=cfg.model.envmap_activation)
 
     scale_path = os.path.join(args.model_path, "albedo_scale.json")
     base_scale = jnp.ones(3)
@@ -201,7 +202,7 @@ def main():
         out_dir = os.path.join(out_root, name)
         os.makedirs(out_dir, exist_ok=True)
         env_list.append((name, env, out_dir))
-    acc = {name: {"psnr": [], "ssim": [], "lpips": []}
+    acc = {name: {"psnr": [], "ssim": [], "lpips": [], "fallback": False}
            for name, _, _ in env_list}
     for cam in cams:
         imgs, alpha = render_all_envs_j(params, grid, cam.params(),
@@ -214,6 +215,17 @@ def main():
                     # ≙ reference render*mask + (1-mask)*bg vs gt*mask
                     cmp_img = img * gt_mask + (1 - gt_mask) * bg_val
                 elif cam.image is not None:
+                    # no relit GT found for this envmap: compare against the
+                    # TRAINING-illumination image instead. These are NOT
+                    # relighting metrics (the reference always evaluates
+                    # against relit GT, eval_relighting_syn4.py) — record
+                    # them under *_trainlight keys, never *_pbr.
+                    if not acc[name]["fallback"]:
+                        print(f"WARNING: no relit GT found for envmap "
+                              f"'{name}' — falling back to the training-"
+                              f"illumination image; metrics recorded as "
+                              f"psnr_trainlight (not psnr_pbr)", flush=True)
+                        acc[name]["fallback"] = True
                     gt_img, cmp_img = jnp.asarray(cam.image), img
                 if gt_img is not None:
                     acc[name]["psnr"].append(float(M.psnr(cmp_img, gt_img)))
@@ -242,12 +254,16 @@ def main():
         print(f"[{cam.image_name}] done ({len(env_list)} envs)", flush=True)
     for name, _, _ in env_list:
         if acc[name]["psnr"]:
-            # reference key names: eval_relighting_syn4.py:214-222
+            # reference key names: eval_relighting_syn4.py:214-222.
+            # Training-light fallback metrics get distinct keys so a
+            # misconfigured dataset layout can't produce plausible-looking
+            # "relighting" numbers (ADVICE r4).
+            sfx = "trainlight" if acc[name]["fallback"] else "pbr"
             results[name] = {
-                "psnr_pbr": float(np.mean(acc[name]["psnr"])),
-                "ssim_pbr": float(np.mean(acc[name]["ssim"])),
-                "lpips_pbr": (float(np.mean(acc[name]["lpips"]))
-                              if acc[name]["lpips"] else None),
+                f"psnr_{sfx}": float(np.mean(acc[name]["psnr"])),
+                f"ssim_{sfx}": float(np.mean(acc[name]["ssim"])),
+                f"lpips_{sfx}": (float(np.mean(acc[name]["lpips"]))
+                                 if acc[name]["lpips"] else None),
             }
             print(name, results[name], flush=True)
 

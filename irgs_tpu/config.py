@@ -92,6 +92,13 @@ class PipelineConfig:
     # gaussiantrace_forward.cu:27-103); 1 = off
     tracer_n_segments: int = 4
     tracer_retrace_frac: float = 0.25
+    # adaptive capacity ladder (grid_tracer.retrace_pass): OFF for training.
+    # The ladder's lax.switch multiplies differentiated re-trace bodies
+    # (rounds x rungs), and at the bench workload the JVP residuals of the
+    # duplicated blend gathers OOM'd the chip (BENCH_r04: ~20 live 192 MB
+    # f32[65536,16,48] temps). It was only ever measured on the forward
+    # eval path (BASELINE.md r4 ladder table), where it stays on.
+    tracer_adaptive: bool = False
     # EVAL budgets: the 512+256-spp eval path pays wide candidate budgets +
     # deeper re-trace for near-oracle fidelity (|dcolor| < 2e-3 vs the
     # brute-force oracle on the dense stress scene; tools/trace_fidelity.py)
@@ -122,6 +129,8 @@ class PipelineConfig:
     tracer_retrace_frac_eval: float = 0.5
     tracer_retrace_decay_eval: float = 0.5
     tracer_retrace_while_eval: bool = False
+    # eval path is forward-only, where the ladder was A/B'd: keep it on
+    tracer_adaptive_eval: bool = True
     tracer_retrace_bulk_eval: int = 2     # while-mode: unrolled bulk rounds
     tracer_retrace_tail_frac_eval: float = 0.02
     tracer_retrace_max_cells_eval: int = 24

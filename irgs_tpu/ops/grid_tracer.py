@@ -151,8 +151,14 @@ class TracerConfig:
     # the geometric tail keeps total wide-budget work ~2*frac while deep
     # rays still get many extension rounds.
     retrace_decay: float = 1.0
-    # skip re-trace rounds entirely (lax.cond) when no ray needs them
-    adaptive: bool = True
+    # capacity ladder: run each re-trace round at the smallest precompiled
+    # rung that fits the measured demand (lax.switch), skipping entirely
+    # when no ray needs it. Result-identical to full capacity. OFF by
+    # default: under reverse-mode AD the switch multiplies differentiated
+    # re-trace bodies (rounds x rungs) and their blend-gather residuals
+    # OOM'd the train step (BENCH_r04). Enable for forward-only eval paths
+    # (from_pipe(eval=True) does).
+    adaptive: bool = False
     # ITERATIVE DEEPENING (eval-only: lax.while_loop is not reverse-mode
     # differentiable): after `retrace_bulk` unrolled rounds at retrace_frac
     # capacity (the demand bulk), fixed SMALL-capacity
@@ -216,6 +222,7 @@ class TracerConfig:
                 retrace_hit_budget=pipe.tracer_retrace_hit_budget_eval,
                 retrace_max_crossings=pipe.tracer_retrace_max_crossings_eval,
                 table_bf16=getattr(pipe, "tracer_table_bf16_eval", False),
+                adaptive=getattr(pipe, "tracer_adaptive_eval", True),
                 transmittance_min=pipe.transmittance_min,
                 alpha_min=pipe.alpha_min)
         return cls(
@@ -231,6 +238,7 @@ class TracerConfig:
             n_segments=pipe.tracer_n_segments,
             retrace_frac=pipe.tracer_retrace_frac,
             table_bf16=getattr(pipe, "tracer_table_bf16", False),
+            adaptive=getattr(pipe, "tracer_adaptive", False),
             transmittance_min=pipe.transmittance_min,
             alpha_min=pipe.alpha_min)
 
@@ -1488,8 +1496,17 @@ def retrace_pass(out: TraceOut, hits: SelectedHits, ray_o, ray_d, grid: Grid,
         for c in rungs[:-1]:
             sel = sel + (n_need > c).astype(jnp.int32)
         return jax.lax.switch(sel, branches, operand=None)
-    return _retrace_body(out, hits, need, ray_o, ray_d, grid, inputs, cfg,
-                         sh_deg, capacity, back_culling, pair_tab=pair_tab)
+
+    # non-ladder (training / AD) path: ONE differentiated body behind a
+    # quiesce skip — the round-3 shipping structure (1.095 iter/s measured,
+    # BASELINE.md) whose JVP residuals fit on-chip
+    def _run(_):
+        return _retrace_body(out, hits, need, ray_o, ray_d, grid, inputs,
+                             cfg, sh_deg, capacity, back_culling,
+                             pair_tab=pair_tab)
+
+    return jax.lax.cond(jnp.any(need), _run, lambda _: (out, hits),
+                        operand=None)
 
 
 def _retrace_body(out, hits, need, ray_o, ray_d, grid, inputs, cfg, sh_deg,

@@ -249,7 +249,8 @@ def save_ply(path: str, params: GaussianParams, aux: GaussianAux,
         pass
 
 
-def load_ply(path: str, n_capacity: int, max_sh_degree: int = 3):
+def load_ply(path: str, n_capacity: int, max_sh_degree: int = 3,
+             env_activation: str = "exp"):
     el = read_ply(path)["vertex"].data
     n = len(el)
     assert n <= n_capacity, f"{n} points > capacity {n_capacity}"
@@ -284,14 +285,28 @@ def load_ply(path: str, n_capacity: int, max_sh_degree: int = 3):
         blob = torch.load(map_path, map_location="cpu", weights_only=False)
         base = blob["state_dict"]["base"]
         env = jnp.asarray(np.asarray(base.detach().numpy(), np.float32))
-        if blob.get("activation", "exp") != "exp":
+        if blob.get("activation", "exp") != env_activation:
             raise ValueError(
-                f"envmap sidecar {map_path} uses activation "
-                f"{blob.get('activation')!r}; only 'exp' raw grids load")
+                f"envmap sidecar {map_path} was saved with activation "
+                f"{blob.get('activation')!r} but the model is configured "
+                f"for {env_activation!r}; the raw grid would be "
+                f"misinterpreted")
     elif os.path.exists(exr_path):
-        # HDR image of the ACTIVATED map: invert the exp activation
+        # HDR image of the ACTIVATED map: invert the configured activation
+        # so the recovered raw grid round-trips (ADVICE r4)
         from ..utils.exr import read_exr_rgb
-        env = jnp.log(jnp.maximum(jnp.asarray(read_exr_rgb(exr_path)), 1e-8))
+        act = jnp.maximum(jnp.asarray(read_exr_rgb(exr_path)), 1e-8)
+        if env_activation == "exp":
+            env = jnp.log(act)
+        elif env_activation == "softplus":
+            # inverse softplus: log(expm1(y)); stable for large y via
+            # y + log1p(-exp(-y))
+            env = jnp.where(act > 20.0, act,
+                            jnp.log(jnp.expm1(jnp.minimum(act, 20.0))))
+        else:
+            raise ValueError(
+                f"cannot invert envmap activation {env_activation!r} from "
+                f"the .exr sidecar {exr_path}; save the raw grid instead")
     else:
         env = jnp.zeros((64, 128, 3), jnp.float32)
 

@@ -49,7 +49,8 @@ def main():
     iters = sorted(int(d.split("_")[1]) for d in os.listdir(pc_dir))
     it = args.iteration if args.iteration > 0 else iters[-1]
     ply = os.path.join(pc_dir, f"iteration_{it}", "point_cloud.ply")
-    params, aux = G.load_ply(ply, cfg.model.max_gaussians, cfg.model.sh_degree)
+    params, aux = G.load_ply(ply, cfg.model.max_gaussians, cfg.model.sh_degree,
+                             env_activation=cfg.model.envmap_activation)
 
     info = load_scene(cfg.model.source_path, cfg.model.white_background,
                       eval_split=True, resolution=cfg.model.resolution)
@@ -71,6 +72,7 @@ def main():
         light_sample_num=cfg.pipe.light_sample_num,
         wo_indirect=cfg.pipe.wo_indirect,
         white_background=cfg.model.white_background,
+        env_activation=cfg.model.envmap_activation,
         tracer=gt.TracerConfig.from_pipe(cfg.pipe, eval=True))
     grid = gt.build_grid_from_gaussians(params, aux, ecfg.tracer)
 

@@ -38,7 +38,8 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 ALL_STEPS = ("stage1", "stage2", "nvs", "material", "relight")
 
 
-def run_step(name: str, cmd: list[str], log_dir: str, redo: bool) -> bool:
+def run_step(name: str, cmd: list[str], log_dir: str, redo: bool,
+             env: dict | None = None) -> bool:
     os.makedirs(log_dir, exist_ok=True)
     done = os.path.join(log_dir, f"{name}.done")
     log = os.path.join(log_dir, f"{name}.log")
@@ -51,7 +52,7 @@ def run_step(name: str, cmd: list[str], log_dir: str, redo: bool) -> bool:
     with open(log, "a") as lf:
         lf.write(f"\n=== {time.strftime('%F %T')} {' '.join(cmd)}\n")
         lf.flush()
-        proc = subprocess.run(cmd, cwd=REPO, stdout=lf, stderr=lf)
+        proc = subprocess.run(cmd, cwd=REPO, stdout=lf, stderr=lf, env=env)
     dt = time.time() - t0
     if proc.returncode != 0:
         print(f"  [FAIL] {name} rc={proc.returncode} after {dt:.0f}s "
@@ -104,15 +105,17 @@ def main():
             s2_dir = os.path.join(out, "irgs")
             logs = os.path.join(out, "logs")
             print(f"[grid] {tag}", flush=True)
-            child_env = dict(os.environ)
+            # child-only env (never mutate our own os.environ: a stale
+            # DATA_SUBDIR would leak into later grid cells — ADVICE r4)
+            child_env = {k: v for k, v in os.environ.items()
+                         if k != "DATA_SUBDIR"}
             if env is not None:
                 child_env["DATA_SUBDIR"] = env  # ≙ the v5 datasets' env axis
 
             def step(name, cmd):
                 if name not in args.steps:
                     return True
-                os.environ.update(child_env)
-                return run_step(name, cmd, logs, args.redo)
+                return run_step(name, cmd, logs, args.redo, env=child_env)
 
             ok = True
             ok = ok and step("stage1", [

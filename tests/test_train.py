@@ -431,3 +431,31 @@ def test_nonfinite_loss_dumps_loadable_reproducer(tmp_path):
     state, it = load_checkpoint(os.path.join(model_dir, reps[0]), template)
     assert it == 2
     assert state.params.xyz.shape == params.xyz.shape
+
+
+def test_cli_stage2_resume_dispatch(tmp_path):
+    """ADVICE r4 (high): `--start_checkpoint <stage-2 ckpt>` must take the
+    in-place-resume path, NOT the stage-1 bridge (which would crash
+    from_bytes on the leaf-structure mismatch)."""
+    import os
+    import subprocess
+    import sys
+
+    model_dir = str(tmp_path / "resume_run")
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = [sys.executable, "train.py", "--toy", "-m", model_dir,
+            "--vis_interval", "0", "--mesh_platform", "cpu"]
+    p1 = subprocess.run(base + ["--iterations", "2"],
+                        cwd=repo, capture_output=True, text=True,
+                        timeout=1200, env=env)
+    assert p1.returncode == 0, p1.stderr[-2000:]
+    assert os.path.exists(os.path.join(model_dir, "chkpnt2.ckpt")), \
+        os.listdir(model_dir)
+    # resume from the run DIR (latest chkpnt auto-selected)
+    p2 = subprocess.run(base + ["--iterations", "4",
+                                "--start_checkpoint", model_dir],
+                        cwd=repo, capture_output=True, text=True,
+                        timeout=1200, env=env)
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    assert "resumed stage-2 from" in p2.stdout, p2.stdout[-2000:]

@@ -106,6 +106,10 @@ def main():
             with open(cp + ".json") as f:
                 if json.load(f).get("kind") == "stage2":
                     s2_resume = cp
+                    # the stage-1 bridge branches below must not try to
+                    # parse a stage-2 checkpoint as a Stage1State (leaf
+                    # structure mismatch crashes from_bytes)
+                    args.start_checkpoint = None
     if args.start_checkpoint_refgs:
         args.start_checkpoint = args.start_checkpoint_refgs
 
@@ -153,6 +157,7 @@ def main():
         ecfg = EvalConfig(img_w=toy_res, img_h=toy_res,
                           diffuse_sample_num=toy_spp,
                           light_sample_num=0,
+                          env_activation=cfg.model.envmap_activation,
                           dup_capacity=2 ** 16 if on_cpu else 2 ** 21,
                           tracer=dataclasses.replace(
                               gt.TracerConfig.from_pipe(cfg.pipe, eval=True),
@@ -210,7 +215,8 @@ def main():
                   f"({int(aux.n_alive)} gaussians)")
         elif args.start_ply:
             params, aux = G.load_ply(args.start_ply, cfg.model.max_gaussians,
-                                     cfg.model.sh_degree)
+                                     cfg.model.sh_degree,
+                                     env_activation=cfg.model.envmap_activation)
         else:
             params, aux = G.create_from_pcd(
                 info.points, info.colors, cfg.model.max_gaussians,
@@ -263,6 +269,7 @@ def main():
         vcfg = EvalConfig(img_w=w, img_h=h, diffuse_sample_num=64,
                           light_sample_num=0, tracer=st.tracer,
                           white_background=cfg.model.white_background,
+                          env_activation=cfg.model.envmap_activation,
                           dup_capacity=st.dup_capacity)
         render_vis_j = jax.jit(
             lambda p, a, g, c: render_ir_eval(p, a, g, c, vcfg))
