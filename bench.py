@@ -90,11 +90,40 @@ def main():
         best_dt = min(best_dt, time.perf_counter() - t0)
     iters_per_sec = n_iters / best_dt
 
+    # MFU / roofline accounting (VERDICT r4 #8): XLA's own per-program cost
+    # model (flops + bytes accessed) over the measured step time, against
+    # TPU v5e chip peaks — makes "fast" auditable against hardware, not
+    # just iter/s. v5e: 197 TFLOP/s bf16 MXU, 819 GB/s HBM
+    # (jax-ml.github.io/scaling-book hardware table).
+    mfu = hbm_util = flops = bytes_acc = None
+    try:
+        # stage2_step is already a jax.jit function: lower with the SAME
+        # (args, statics) signature the loop used, so .compile() is a cache
+        # hit, not a fresh 10-min AOT compile
+        lowered = s2.stage2_step.lower(state, grid, cam_params[0], gts[0],
+                                       None, key, st=st, optimizer=optimizer)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        bytes_acc = float(cost.get("bytes accessed", 0.0))
+        step_s = best_dt / n_iters
+        peak_flops = 197e12   # bf16; fp32 ops run at half this on the MXU
+        peak_bw = 819e9
+        mfu = flops / step_s / peak_flops
+        hbm_util = bytes_acc / step_s / peak_bw
+    except Exception as e:  # cost model is diagnostics, never a gate
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "stage2_train_iters_per_sec",
         "value": round(iters_per_sec, 4),
         "unit": "iter/s (400x400, 100k gaussians, 256spp x 1024 rays)",
         "vs_baseline": round(iters_per_sec / 1.0, 4),
+        "mfu": None if mfu is None else round(mfu, 4),
+        "hbm_util": None if hbm_util is None else round(hbm_util, 4),
+        "flops_per_step": flops,
+        "bytes_per_step": bytes_acc,
     }))
 
 

@@ -55,6 +55,17 @@ ap.add_argument("--eval_while", type=int, default=-1,
                 help="override retrace_while (0/1; -1 keeps config)")
 ap.add_argument("--eval_decay", type=float, default=0.0,
                 help="override retrace_decay (0 keeps config)")
+ap.add_argument("--subsample", type=int, default=0,
+                help="compare on N random FOREGROUND pixels instead of the "
+                     "full frame (the O(R*N) oracle is intractable at 400^2 "
+                     "full-frame; a deterministic pixel sample is unbiased)")
+ap.add_argument("--ply", default="",
+                help="load a TRAINED scene from this PLY instead of the "
+                     "analytic shadow scene (VERDICT r4 #5: realistic "
+                     "small-gaussian geometry)")
+ap.add_argument("--bf16", type=int, default=-1,
+                help="override tracer table_bf16 for the eval path "
+                     "(0/1; -1 keeps config)")
 ap.add_argument("--cache", default="/tmp/parity_cache",
                 help="directory for resumable per-image results (remote "
                      "compiles are not persistently cached, so long runs "
@@ -77,7 +88,13 @@ IMG = args.img
 SPP_D, SPP_L = args.spp
 
 print("scene...", flush=True)
-params, aux = toy.make_shadow_scene()
+if args.ply:
+    from irgs_tpu.scene import gaussians as G
+    params, aux = G.load_ply(args.ply, 2 ** 17)
+    print(f"loaded {int(aux.n_alive)} trained gaussians from {args.ply}",
+          flush=True)
+else:
+    params, aux = toy.make_shadow_scene()
 print("scene done", flush=True)
 cams = toy.make_ring_cameras(max(args.views, 4), radius=3.4, height=1.6,
                              width=IMG, height_px=IMG)
@@ -98,11 +115,15 @@ if args.eval_while >= 0:
     eval_tracer = _dc.replace(eval_tracer, retrace_while=bool(args.eval_while))
 if args.eval_decay:
     eval_tracer = _dc.replace(eval_tracer, retrace_decay=args.eval_decay)
+if args.bf16 >= 0:
+    eval_tracer = _dc.replace(eval_tracer, table_bf16=bool(args.bf16))
 rc_ = eval_tracer.retrace_cfg()
 TAG = (f"nf_sg{eval_tracer.n_segments}kb{eval_tracer.hit_budget}"
        f"rkb{rc_.hit_budget}rh{rc_.max_hits}rcr{rc_.max_crossings}"
        f"f{eval_tracer.retrace_frac}d{eval_tracer.retrace_decay}"
-       f"w{int(eval_tracer.retrace_while)}")
+       f"w{int(eval_tracer.retrace_while)}"
+       f"b{int(eval_tracer.table_bf16)}"
+       + ("ply" if args.ply else ""))
 print("grid...", flush=True)
 grid = gt.build_grid_from_gaussians(params, aux, eval_tracer)
 assert int(grid.overflow) == 0
@@ -234,10 +255,48 @@ def render_oracle_j(cam, p, sd, sl):
     return _render_blocks(cam, p, grid, sd, sl, "oracle")
 
 
+def _subset_compare(vi, cam):
+    """Budgeted tracer vs exact oracle on N deterministic FOREGROUND pixels
+    of the IMG^2 frame (the full-frame O(R*N) oracle is intractable at
+    400^2; an unbiased pixel sample measures the same per-pixel bias)."""
+    base, rough, normal, points, wo, alpha = jax.jit(gbuffer_j)(cam, params)
+    fg = np.flatnonzero(np.asarray(alpha[..., 0].reshape(-1)) > 0.5)
+    rng = np.random.default_rng(17 + vi)
+    n = min(args.subsample, fg.size)
+    sel = np.sort(rng.choice(fg, size=n, replace=False))
+    # pad to a fixed dispatch shape so prod/oracle share compiled programs
+    pad = (-n) % 2048
+    sel_p = np.concatenate([sel, np.repeat(sel[-1:], pad)])
+    px = tuple(x[jnp.asarray(sel_p)] for x in
+               (base, rough, normal, points, wo))
+    t0 = time.time()
+    out_p = cached(f"sub_prod_v{vi}_i{IMG}_n{n}_s{SPP_D}_{SPP_L}_{TAG}",
+                   lambda: shade_block_j(px, cam.cam_pos, params, grid,
+                                         SPP_D, SPP_L, "prod"))
+    tp = time.time() - t0
+    t0 = time.time()
+    out_o = cached(f"sub_oracle_v{vi}_i{IMG}_n{n}_s{SPP_D}_{SPP_L}"
+                   + ("ply" if args.ply else ""),
+                   lambda: shade_block_j(px, cam.cam_pos, params, grid,
+                                         SPP_D, SPP_L, "oracle"))
+    to = time.time() - t0
+    a = jnp.clip(rgb_to_srgb(out_p[:n]), 0.0, 1.0)
+    b = jnp.clip(rgb_to_srgb(out_o[:n]), 0.0, 1.0)
+    p = float(psnr(a, b))
+    mad = float(jnp.abs(a - b).mean())
+    print(f"view {vi}: SUBSET({n} fg px) eval vs oracle PSNR {p:.2f} dB, "
+          f"mean|d| {mad:.6f} (prod {tp:.0f}s, oracle {to:.0f}s)",
+          flush=True)
+    return p
+
+
 t0 = time.time()
 results = {}
 for vi in range(args.views):
     cam = cams[vi].params()
+    if args.subsample:
+        results[f"view{vi}_psnr"] = _subset_compare(vi, cam)
+        continue
     print(f"view {vi}: production render...", flush=True)
     img_prod = cached(
         f"prod_v{vi}_i{IMG}_s{SPP_D}_{SPP_L}_{TAG}",

@@ -190,14 +190,18 @@ def build_radiosity(env_lin, env_pdf, spp=None):
                          env_activation="none")
 
     @jax.jit
-    def irradiance(pts, nrm):
+    def _irradiance_impl(pts, nrm, env_lin_a, env_pdf_a):
         # f_d = 1 -> "diffuse" output is E/pi; multiply albedo later
+        # (env tables are jit args, not closures — see make_frame_renderer)
         ones = jnp.full((pts.shape[0], 3), jnp.pi)
         res = ir.rendering_equation(ones, jnp.full((pts.shape[0], 1), 1.0),
-                                    nrm, pts, nrm, env_lin, env_pdf,
+                                    nrm, pts, nrm, env_lin_a, env_pdf_a,
                                     occl_trace, cfg,
                                     pixel_ids=jnp.arange(pts.shape[0]))
         return res["diffuse"]   # = E
+
+    def irradiance(pts, nrm):
+        return _irradiance_impl(pts, nrm, env_lin, env_pdf)
 
     # ground grid
     xs = (jnp.arange(GRID_G) + 0.5) / GRID_G * (2 * GND_R) - GND_R
@@ -205,8 +209,10 @@ def build_radiosity(env_lin, env_pdf, spp=None):
     gp = jnp.stack([gx, jnp.full_like(gx, GND_Y), gz], -1).reshape(-1, 3)
     gn = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), gp.shape)
     e_g = []
-    for i in range(0, gp.shape[0], 65536):
-        e_g.append(irradiance(gp[i:i + 65536], gn[i:i + 65536]))
+    # 8192-point chunks: one 65536x1024-sample dispatch OOMs 16 GB HBM
+    RC = 8192
+    for i in range(0, gp.shape[0], RC):
+        e_g.append(irradiance(gp[i:i + RC], gn[i:i + RC]))
     e_g = jnp.concatenate(e_g).reshape(GRID_G, GRID_G, 3)
     alb_g, _ = materials(gp.reshape(GRID_G, GRID_G, 3), jnp.full(
         (GRID_G, GRID_G), 2, jnp.int32))
@@ -217,8 +223,8 @@ def build_radiosity(env_lin, env_pdf, spp=None):
     dirs = envlight.env_image_dirs(sh, sw).reshape(-1, 3)
     sp = SPH_C + SPH_R * dirs
     e_s = []
-    for i in range(0, sp.shape[0], 65536):
-        e_s.append(irradiance(sp[i:i + 65536], dirs[i:i + 65536]))
+    for i in range(0, sp.shape[0], RC):
+        e_s.append(irradiance(sp[i:i + RC], dirs[i:i + RC]))
     e_s = jnp.concatenate(e_s).reshape(sh, sw, 3)
     alb_s, _ = materials(sp.reshape(sh, sw, 3),
                          jnp.full((sh, sw), 1, jnp.int32))
@@ -245,15 +251,11 @@ def radiosity_lookup(pos, obj, rad_g, rad_s):
 
 
 def make_frame_renderer(env_lin, env_pdf, rad_g, rad_s, W, H, spp, chunk):
+    # NOTE: env/radiosity tables are passed as jit ARGUMENTS, never closed
+    # over — embedded device-array constants trigger pathological constant
+    # folding on the remote-compile backend (hours-long compiles; this hung
+    # every previous e2e attempt at the dataset step)
     env_lin = jnp.asarray(env_lin)
-
-    def analytic_trace(ro, rd):
-        b, s, _ = ro.shape
-        _, obj, pos, _ = intersect(ro.reshape(-1, 3), rd.reshape(-1, 3))
-        col = radiosity_lookup(pos, obj, rad_g, rad_s)
-        return types.SimpleNamespace(
-            alpha=(obj > 0).reshape(b, s).astype(jnp.float32),
-            color=col.reshape(b, s, 3))
 
     @jax.jit
     def primary(camp):
@@ -263,9 +265,23 @@ def make_frame_renderer(env_lin, env_pdf, rad_g, rad_s, W, H, spp, chunk):
         return rd, obj, pos, nrm
 
     @jax.jit
-    def shade(pos, nrm, wo, obj, pid):
-        return _shade_points(pos, nrm, wo, obj, env_lin, env_pdf,
+    def _shade_impl(pos, nrm, wo, obj, pid, env_lin_a, env_pdf_a,
+                    rad_g_a, rad_s_a):
+        def analytic_trace(ro, rd):
+            b, s, _ = ro.shape
+            _, obj_t, pos_t, _ = intersect(ro.reshape(-1, 3),
+                                           rd.reshape(-1, 3))
+            col = radiosity_lookup(pos_t, obj_t, rad_g_a, rad_s_a)
+            return types.SimpleNamespace(
+                alpha=(obj_t > 0).reshape(b, s).astype(jnp.float32),
+                color=col.reshape(b, s, 3))
+
+        return _shade_points(pos, nrm, wo, obj, env_lin_a, env_pdf_a,
                              analytic_trace, spp, pid)
+
+    def shade(pos, nrm, wo, obj, pid):
+        return _shade_impl(pos, nrm, wo, obj, pid, env_lin, env_pdf,
+                           rad_g, rad_s)
 
     def render(camp, ss=2):
         """ss x ss supersampled frame -> (linear premultiplied rgb, alpha,
@@ -368,7 +384,7 @@ def main():
     ap.add_argument("--spp", type=int, nargs=2, default=(512, 256))
     ap.add_argument("--ss", type=int, default=2, help="supersampling grid")
     ap.add_argument("--env_res", type=int, default=256)
-    ap.add_argument("--chunk", type=int, default=16384)
+    ap.add_argument("--chunk", type=int, default=8192)  # 16384x768spp was HBM-marginal
     ap.add_argument("--relight_envs", nargs="*", default=["sunset", "sun"])
     ap.add_argument("--grid", type=int, nargs=2, default=(512, 256),
                     metavar=("GROUND", "SPHERE_H"),

@@ -27,6 +27,9 @@ ap = argparse.ArgumentParser()
 ap.add_argument("--root", default="/tmp/e2e")
 ap.add_argument("--name", default="e2e_shadow")
 ap.add_argument("--img", type=int, default=800)
+ap.add_argument("--ss", type=int, default=1,
+                help="dataset supersampling (1 keeps the 800^2 GT render "
+                     "~4x cheaper; edges slightly aliased)")
 ap.add_argument("--n_train", type=int, default=64)
 ap.add_argument("--n_test", type=int, default=8)
 ap.add_argument("--s1_iters", type=int, default=3000)
@@ -60,7 +63,7 @@ py = sys.executable
 if not args.skip_dataset:
     run("dataset", [py, "tools/make_dataset.py", "--out", ds,
                     "--img", str(args.img), "--n_train", str(args.n_train),
-                    "--n_test", str(args.n_test)])
+                    "--n_test", str(args.n_test), "--ss", str(args.ss)])
 
 if not args.skip_stage1:
     run("stage1", [py, "train_refgaussian.py", "-s", ds, "-m", s1,
