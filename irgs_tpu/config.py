@@ -88,6 +88,11 @@ class PipelineConfig:
     tracer_table_bf16: bool = False
     tracer_hit_budget: int = 16
     tracer_max_crossings: int = 24
+    # gaussians spanning > span_cap grid cells per axis (floor/sky surfels)
+    # are excluded from the grid and brute-force depth-merged into every
+    # k-buffer blend, exactly (grid_tracer.TracerConfig.oversize_cap).
+    # 0 = legacy centered-window truncation (counted in grid_oversize).
+    tracer_oversize_cap: int = 0
     # segmented re-trace (≙ the OptiX raygen's per-segment loop,
     # gaussiantrace_forward.cu:27-103); 1 = off
     tracer_n_segments: int = 4

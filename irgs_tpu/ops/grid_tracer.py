@@ -80,6 +80,17 @@ class TracerConfig:
                                    # per ray (0 -> grid_res, exact; ~2/3 of
                                    # grid_res is a safe practical cap)
     span_cap: int = 6              # max cells per axis per gaussian
+    # OVERSIZE HANDLING: gaussians spanning > span_cap cells per axis (a
+    # dominant floor/sky surfel) cannot be registered in the grid without
+    # unbounded window shapes. With oversize_cap > 0, the largest such
+    # gaussians (by bounding radius, up to the cap) are EXCLUDED from the
+    # grid and instead brute-force intersected against every ray and
+    # depth-merged into each round's k-buffer before the blend — exact, at
+    # the cost of one [R, cap] hit eval + a (kb+cap)-wide blend per round.
+    # 0 (default) keeps the old centered-window truncation, counted loudly
+    # in Grid.oversize. ≙ OptiX handles arbitrary-extent proxies natively
+    # (surfel_tracer/src/bvh.cu:69-160); this is the grid rebuild's answer.
+    oversize_cap: int = 0
     # TILED select (select_tiles > 0): candidates examined in `tile`-wide
     # CONTIGUOUS blocks of the pair-ordered candidate table — one gather row
     # per `tile` candidates instead of one per candidate (per-row gather
@@ -223,6 +234,7 @@ class TracerConfig:
                 retrace_max_crossings=pipe.tracer_retrace_max_crossings_eval,
                 table_bf16=getattr(pipe, "tracer_table_bf16_eval", False),
                 adaptive=getattr(pipe, "tracer_adaptive_eval", True),
+                oversize_cap=getattr(pipe, "tracer_oversize_cap", 0),
                 transmittance_min=pipe.transmittance_min,
                 alpha_min=pipe.alpha_min)
         return cls(
@@ -239,6 +251,7 @@ class TracerConfig:
             retrace_frac=pipe.tracer_retrace_frac,
             table_bf16=getattr(pipe, "tracer_table_bf16", False),
             adaptive=getattr(pipe, "tracer_adaptive", False),
+            oversize_cap=getattr(pipe, "tracer_oversize_cap", 0),
             transmittance_min=pipe.transmittance_min,
             alpha_min=pipe.alpha_min)
 
@@ -272,6 +285,18 @@ class Grid(NamedTuple):
     inv_cell: jnp.ndarray        # [3]
     cell_size: jnp.ndarray       # [3]
     overflow: jnp.ndarray        # scalar int32
+    oversize: jnp.ndarray        # scalar int32: alive gaussians whose
+                                 # bounding box spans > span_cap cells on
+                                 # some axis — their insertion was TRUNCATED
+                                 # to a centered span_cap window (rays far
+                                 # from the center silently miss them).
+                                 # Nonzero => raise span_cap / lower
+                                 # grid_res / raise oversize_cap, or
+                                 # expect bias (loud warning at call sites)
+    oversize_ids: jnp.ndarray    # [oversize_cap] int32 gaussian ids kept
+                                 # OUT of the grid and brute-force merged
+                                 # per ray (merge_oversize); -1 padding.
+                                 # Shape [0] when oversize_cap == 0.
     coarse_occ: jnp.ndarray      # [Gc^3] int32 0/1 occupancy of
                                  # COARSE_FACTOR^3 supercells (exact — a
                                  # supercell is 1 iff some fine cell in it
@@ -343,9 +368,10 @@ def bounding_radius(opacity, scales, alpha_min: float):
     return jnp.sqrt(2.0 * jnp.log(ratio)) * jnp.max(scales, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("grid_res", "pair_capacity", "span_cap"))
+@functools.partial(jax.jit, static_argnames=("grid_res", "pair_capacity",
+                                             "span_cap", "oversize_cap"))
 def build_grid(means3d, radius, alive, *, grid_res: int, pair_capacity: int,
-               span_cap: int = 6, normals=None) -> Grid:
+               span_cap: int = 6, normals=None, oversize_cap: int = 0) -> Grid:
     """Uniform grid over per-Gaussian bounding spheres.
 
     With `normals` given, cells are culled to those the surfel's DISK PLANE
@@ -357,18 +383,51 @@ def build_grid(means3d, radius, alive, *, grid_res: int, pair_capacity: int,
     """
     g = grid_res
     n = means3d.shape[0]
-    r = jnp.where(alive, radius, 0.0)
-    masked = jnp.where(alive[:, None], means3d, jnp.nan)
 
-    bb_min = jnp.nan_to_num(jnp.nanmin(masked - r[:, None], axis=0), nan=-1.0) - 1e-3
-    bb_max = jnp.nan_to_num(jnp.nanmax(masked + r[:, None], axis=0), nan=1.0) + 1e-3
-    cell = (bb_max - bb_min) / g
-    inv_cell = 1.0 / cell
+    def _bounds(alive_m):
+        rr = jnp.where(alive_m, radius, 0.0)
+        masked = jnp.where(alive_m[:, None], means3d, jnp.nan)
+        bmn = jnp.nan_to_num(jnp.nanmin(masked - rr[:, None], axis=0),
+                             nan=-1.0) - 1e-3
+        bmx = jnp.nan_to_num(jnp.nanmax(masked + rr[:, None], axis=0),
+                             nan=1.0) + 1e-3
+        cl = (bmx - bmn) / g
+        ic = 1.0 / cl
+        lo_ = jnp.clip(jnp.floor((means3d - rr[:, None] - bmn) * ic
+                                 ).astype(jnp.int32), 0, g - 1)
+        hi_ = jnp.clip(jnp.floor((means3d + rr[:, None] - bmn) * ic
+                                 ).astype(jnp.int32), 0, g - 1)
+        ov = (alive_m & (rr > 0)) & jnp.any(hi_ - lo_ + 1 > span_cap,
+                                            axis=-1)
+        return rr, bmn, cl, ic, lo_, hi_, ov
 
-    lo = jnp.clip(jnp.floor((means3d - r[:, None] - bb_min) * inv_cell).astype(jnp.int32), 0, g - 1)
-    hi = jnp.clip(jnp.floor((means3d + r[:, None] - bb_min) * inv_cell).astype(jnp.int32), 0, g - 1)
+    if oversize_cap > 0:
+        # PASS A: find the largest oversize gaussians under the inclusive
+        # bounds. They leave the grid entirely (the tracer brute-force
+        # depth-merges them per ray — merge_oversize); the bbox is then
+        # RECOMPUTED without them, so a dominant floor no longer inflates
+        # the cell size for everything else.
+        r_a, _, _, _, _, _, ov_a = _bounds(alive)
+        K = min(oversize_cap, n)
+        score = jnp.where(ov_a, r_a, -1.0)
+        top_r, top_i = jax.lax.top_k(score, K)
+        taken = top_r > 0.0
+        ov_ids = jnp.where(taken, top_i, -1).astype(jnp.int32)
+        # scatter-max: untaken lanes write False = no-op (a plain .set
+        # with a dummy index could clear a real entry)
+        handled = jnp.zeros((n,), bool).at[top_i].max(taken)
+        alive = alive & ~handled
+    else:
+        ov_ids = jnp.zeros((0,), jnp.int32)
+
+    # PASS B (the only pass when oversize_cap == 0): bounds over what the
+    # grid actually holds. Still-oversize gaussians (cap exceeded, or made
+    # oversize by the tightened cells) fall back to the centered
+    # span_cap-window TRUNCATION — rays outside it miss them — and are
+    # counted loudly in Grid.oversize.
+    r, bb_min, cell, inv_cell, lo, hi, oversize_mask = _bounds(alive)
+    n_oversize = jnp.sum(oversize_mask).astype(jnp.int32)
     span = jnp.minimum(hi - lo + 1, span_cap)
-    # oversized gaussians: keep a span_cap window centered on the center cell
     cc = jnp.clip(jnp.floor((means3d - bb_min) * inv_cell).astype(jnp.int32), 0, g - 1)
     lo = jnp.clip(cc - (span - 1) // 2, lo, hi - span + 1)
 
@@ -394,9 +453,16 @@ def build_grid(means3d, radius, alive, *, grid_res: int, pair_capacity: int,
         dz = bb_min[2] + (czw + 0.5) * cell[2] - means3d[:, 2:3]
         plane = jnp.abs(dx * normals[:, 0:1] + dy * normals[:, 1:2]
                         + dz * normals[:, 2:3])
-        slab = 0.5 * (jnp.abs(normals[:, 0:1]) * cell[0]
-                      + jnp.abs(normals[:, 1:2]) * cell[1]
-                      + jnp.abs(normals[:, 2:3]) * cell[2])
+        # conservative epsilon: an axis-aligned disk plane that lands
+        # EXACTLY on a cell boundary (the generic case for a dominant
+        # floor surfel — its own bounding sphere centers the bbox so the
+        # plane sits on the 8/16-boundary) must keep BOTH neighbor cells;
+        # the hit-cell dedup then assigns boundary hits to whichever cell
+        # the rounded hit point lands in, which needs that cell's pair
+        slab = (0.5 * (jnp.abs(normals[:, 0:1]) * cell[0]
+                       + jnp.abs(normals[:, 1:2]) * cell[1]
+                       + jnp.abs(normals[:, 2:3]) * cell[2])
+                * (1.0 + 1e-4) + 1e-6 * jnp.linalg.norm(cell))
         rad2 = dx * dx + dy * dy + dz * dz
         rmax = (r + 0.5 * jnp.linalg.norm(cell))[:, None]
         keep = in_win & (plane <= slab) & (rad2 <= rmax * rmax)
@@ -466,6 +532,7 @@ def build_grid(means3d, radius, alive, *, grid_res: int, pair_capacity: int,
                 cell_meta=pack_cell_meta(start, per_cell),
                 bb_min=bb_min, inv_cell=inv_cell, cell_size=cell,
                 overflow=jnp.maximum(total - pair_capacity, 0),
+                oversize=n_oversize, oversize_ids=ov_ids,
                 coarse_occ=occ.reshape(-1).astype(jnp.int32))
 
 
@@ -479,7 +546,7 @@ def build_grid_from_gaussians(params, aux, cfg: TracerConfig) -> Grid:
     normals = quat_to_rotmat(params.rotation)[:, :, 2]
     return build_grid(params.xyz, radius, aux.alive, grid_res=cfg.grid_res,
                       pair_capacity=cfg.pair_capacity, span_cap=cfg.span_cap,
-                      normals=normals)
+                      normals=normals, oversize_cap=cfg.oversize_cap)
 
 
 # ---------------------------------------------------------------------------
@@ -1433,6 +1500,58 @@ def blend_hits(ray_o, ray_d, inputs: TraceInputs, gs_s, valid_s,
     )
 
 
+def merge_oversize(gs, valid, more, t_last, ro, rd, geom, grid: Grid,
+                   cfg: TracerConfig, back_culling: bool, t_lo=None):
+    """Depth-merge the grid-EXCLUDED oversize gaussians (Grid.oversize_ids,
+    floor/sky surfels spanning > span_cap cells) into a selected hit list
+    before the blend — the grid rebuild's answer to OptiX's native support
+    for arbitrary-extent proxies (surfel_tracer/src/bvh.cu:69-160).
+
+    Exactness across segmented re-trace: each round accepts oversize hits
+    in the window (t_lo, bound(t_hi)], where t_hi is the round's GRID
+    watermark while more grid matter may exist (more=True) and INF once
+    the traversal is exhausted, and bound() is the same t_last*(1+1e-5) +
+    1e-6 formula the next round's acceptance restart uses — so round
+    windows exactly partition the ray and every oversize hit is blended
+    exactly once, in global depth order. No-op (identity) when
+    oversize_cap == 0."""
+    K = grid.oversize_ids.shape[0]
+    if K == 0:
+        return gs, valid
+    ro = jax.lax.stop_gradient(ro)
+    rd = jax.lax.stop_gradient(rd)
+    ov = grid.oversize_ids
+    ok = ov >= 0
+    rows = geom[jnp.maximum(ov, 0)]                          # [K, 13]
+    alpha, _nf, d = _hit_geom(
+        rows[None, :, 0:3], rows[None, :, 3], rows[None, :, 4:7],
+        rows[None, :, 7:10], rows[None, :, 10:13], ro[:, None], rd[:, None])
+    v = ok[None] & (alpha >= cfg.alpha_min) & (d > 1e-6)
+    if back_culling:
+        d_g = jnp.sum(rows[None, :, 10:13] * rd[:, None], -1)
+        v = v & (d_g < 0)
+    t_hi = jnp.where(more, t_last, INF)
+    if t_lo is not None:
+        v = v & (d > t_lo[:, None])
+    v = v & (d <= t_hi[:, None] * (1.0 + 1e-5) + 1e-6)
+    # existing hits' depths recomputed from geometry (small [R, kb] gather,
+    # only compiled when oversize_cap > 0)
+    rows_e = geom[gs]                                        # [R, kb, 13]
+    _, _, d_e = _hit_geom(
+        rows_e[..., 0:3], rows_e[..., 3], rows_e[..., 4:7],
+        rows_e[..., 7:10], rows_e[..., 10:13], ro[:, None], rd[:, None])
+    R = gs.shape[0]
+    gs_all = jnp.concatenate(
+        [gs, jnp.broadcast_to(jnp.maximum(ov, 0)[None], (R, K))], axis=-1)
+    v_all = jnp.concatenate([valid, v], axis=-1)
+    d_all = jnp.concatenate(
+        [jnp.where(valid, d_e, INF), jnp.where(v, d, INF)], axis=-1)
+    # (depth, gaussian id) two-key sort = the oracle's stable tie order
+    _, gs_s, v_s = jax.lax.sort((d_all, gs_all, v_all.astype(jnp.int32)),
+                                dimension=-1, num_keys=2)
+    return gs_s, v_s.astype(bool)
+
+
 def trace(ray_o, ray_d, grid: Grid, inputs: TraceInputs, *, cfg: TracerConfig,
           sh_deg: int, back_culling: bool = False,
           cells=None, hits=None) -> TraceOut:
@@ -1443,6 +1562,7 @@ def trace(ray_o, ray_d, grid: Grid, inputs: TraceInputs, *, cfg: TracerConfig,
     detached; callers that chunk the ray axis should precompute `cells`
     (and optionally `hits` = (gs_s, valid_s) from select_hits) once outside
     the differentiated loop — see render/ir.make_trace_fn."""
+    geom = None
     if hits is None:
         ro = jax.lax.stop_gradient(ray_o)
         rd = jax.lax.stop_gradient(ray_d)
@@ -1451,7 +1571,14 @@ def trace(ray_o, ray_d, grid: Grid, inputs: TraceInputs, *, cfg: TracerConfig,
         geom = jax.lax.stop_gradient(_pack_geom(inputs))
         hits = select_hits(ro, rd, grid.sorted_gauss, cells, geom, cfg,
                            back_culling, grid=grid)
-    return blend_hits(ray_o, ray_d, inputs, hits.gs, hits.valid, cfg, sh_deg)
+    gs, valid = hits.gs, hits.valid
+    if grid.oversize_ids.shape[0] > 0:
+        if geom is None:
+            geom = jax.lax.stop_gradient(_pack_geom(inputs))
+        gs, valid = merge_oversize(gs, valid, hits.more, hits.t_last,
+                                   ray_o, ray_d, geom, grid, cfg,
+                                   back_culling)
+    return blend_hits(ray_o, ray_d, inputs, gs, valid, cfg, sh_deg)
 
 
 def retrace_pass(out: TraceOut, hits: SelectedHits, ray_o, ray_d, grid: Grid,
@@ -1555,9 +1682,17 @@ def _retrace_body(out, hits, need, ray_o, ray_d, grid, inputs, cfg, sh_deg,
     else:
         h2 = sel(*args)
     valid2 = h2.valid & picked[:, None]
+    gs2 = h2.gs
+    if grid.oversize_ids.shape[0] > 0:
+        # oversize window for this round: (t_accept, bound(new watermark)];
+        # unpicked rays get an empty window via t_lo = INF
+        gs2, valid2 = merge_oversize(
+            gs2, valid2, h2.more, jnp.maximum(h2.t_last, hits.t_last[idx]),
+            ro[idx], rd[idx], geom, grid, cfg, back_culling,
+            t_lo=jnp.where(picked, t_accept, INF))
     # blend in bounded ray groups as well — the fused-table gather is
     # [rays*kb, 61+S] rows and would be tens of GB at full eval capacity
-    kb = min(cfg.hit_budget, cfg.max_hits)
+    kb = min(cfg.hit_budget, cfg.max_hits) + grid.oversize_ids.shape[0]
     blend_cap = max(2 ** 12, (2 ** 22) // max(kb, 1))
     if capacity > blend_cap:
         n_b = -(-capacity // blend_cap)
@@ -1568,13 +1703,13 @@ def _retrace_body(out, hits, need, ray_o, ray_d, grid, inputs, cfg, sh_deg,
         seg = jax.lax.map(
             lambda ab: blend_hits(ab[0], ab[1], inputs, ab[2], ab[3], cfg,
                                   sh_deg, t0=ab[4]),
-            (bpad(ray_o[idx]), bpad(ray_d[idx]), bpad(h2.gs), bpad(valid2),
+            (bpad(ray_o[idx]), bpad(ray_d[idx]), bpad(gs2), bpad(valid2),
              bpad(out.trans[idx])))
         seg = TraceOut(*[
             x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])[:capacity]
             for x in seg])
     else:
-        seg = blend_hits(ray_o[idx], ray_d[idx], inputs, h2.gs, valid2, cfg,
+        seg = blend_hits(ray_o[idx], ray_d[idx], inputs, gs2, valid2, cfg,
                          sh_deg, t0=out.trans[idx])
 
     add2 = lambda a, b: a.at[idx].add(jnp.where(picked[:, None], b, 0.0))
@@ -1678,7 +1813,10 @@ def trace_segments(ray_o, ray_d, grid: Grid, inputs: TraceInputs, *,
                 if cfg.select_tiles > 0 else None)
     hits = select_hits(ro, rd, grid.sorted_gauss, cells, geom, cfg,
                        back_culling, grid=grid, pair_tab=pair_tab)
-    out = blend_hits(ray_o, ray_d, inputs, hits.gs, hits.valid, cfg, sh_deg)
+    gs1, valid1 = merge_oversize(hits.gs, hits.valid, hits.more,
+                                 hits.t_last, ray_o, ray_d, geom, grid,
+                                 cfg, back_culling)
+    out = blend_hits(ray_o, ray_d, inputs, gs1, valid1, cfg, sh_deg)
     out, hits = retrace_rounds(out, hits, ray_o, ray_d, grid, inputs, cfg,
                                sh_deg, back_culling, pair_tab=pair_tab)
     return out

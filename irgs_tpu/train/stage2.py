@@ -272,7 +272,8 @@ def stage2_forward_loss(params: GaussianParams, aux: GaussianAux, grid: gt.Grid,
                # with no error — surface the counters every step so the
                # training log shows them (≙ CHECK_CUDA debug posture)
                "raster_overflow": raster.overflow.astype(jnp.float32),
-               "grid_overflow": grid.overflow.astype(jnp.float32)}
+               "grid_overflow": grid.overflow.astype(jnp.float32),
+               "grid_oversize": grid.oversize.astype(jnp.float32)}
     metrics.update({k: jax.lax.stop_gradient(v)
                     for k, v in trace_stats.items()})
 

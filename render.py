@@ -27,7 +27,8 @@ def main():
     from irgs_tpu.scene.datasets import LIGHT_ROTATE_TRANSFORM, load_scene
 
     parser = argparse.ArgumentParser()
-    parser.add_argument("-m", "--model_path", required=True)
+    # -m/--model_path comes from add_config_args below (config shorthand);
+    # adding it here too is an argparse conflict (crashed the e2e NVS step)
     parser.add_argument("--iteration", type=int, default=-1)
     # ≙ reference render.py:124-129 (--skip_train / --skip_test); train-split
     # rendering is opt-in via --no-skip_train
@@ -41,6 +42,8 @@ def main():
     cfg0 = load_config(".")
     add_config_args(parser, cfg0)
     args = parser.parse_args()
+    if not args.model_path:
+        parser.error("-m/--model_path is required")
     cfg = load_config(args.model_path)
     cfg = apply_args(cfg, args)
 

@@ -562,3 +562,65 @@ def test_span_cap_truncation_detected_and_fixable():
     out_big = gt.trace(ro, rd, grid_big, inputs, cfg=cfg_big, sh_deg=3)
     np.testing.assert_allclose(out_big.alpha, ref.alpha, atol=3e-5)
     np.testing.assert_allclose(out_big.color, ref.color, atol=3e-5)
+
+
+def test_oversize_merge_exact():
+    """With oversize_cap > 0 the floor LEAVES the grid and is brute-force
+    depth-merged into every blend — oracle-exact at small span_cap, single
+    pass and segmented re-trace both."""
+    inputs, scales = _floor_scene()
+    n = inputs.means3d.shape[0]
+    alive = jnp.ones(n, bool)
+    radius = gt.bounding_radius(inputs.opacity, scales, CFG.alpha_min)
+
+    xs = jnp.linspace(-1.8, 1.8, 8)
+    ox, oy = jnp.meshgrid(xs, xs, indexing="ij")
+    ro = jnp.stack([ox.reshape(-1), oy.reshape(-1),
+                    jnp.full(64, 2.0)], axis=-1)
+    rd = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (64, 1))
+    # oblique rays too (graze the floor through many cells)
+    ro2 = jnp.tile(jnp.asarray([[2.5, 0.3, 1.5]]), (64, 1))
+    import jax as _jax
+    rd2 = math3d.safe_normalize(
+        jnp.stack([-1.0 - 0.3 * _jax.random.uniform(_jax.random.PRNGKey(3), (64,)),
+                   -0.2 * _jax.random.uniform(_jax.random.PRNGKey(4), (64,)),
+                   -0.9 + 0.4 * _jax.random.uniform(_jax.random.PRNGKey(5), (64,))],
+                  axis=-1))
+    ro = jnp.concatenate([ro, ro2]); rd = jnp.concatenate([rd, rd2])
+    ref = gt.trace_reference(ro, rd, inputs, alive, sh_deg=3,
+                             transmittance_min=CFG.transmittance_min)
+
+    cfg = gt.TracerConfig(grid_res=8, pair_capacity=2 ** 15, max_cells=48,
+                          max_hits=192, hit_budget=192, span_cap=6,
+                          oversize_cap=8)
+    grid = gt.build_grid(inputs.means3d, radius, alive, grid_res=8,
+                         pair_capacity=2 ** 15, span_cap=6,
+                         normals=inputs.normals, oversize_cap=8)
+    # the floor (last id) is out of the grid, in the oversize list
+    assert int(grid.oversize) == 0
+    ids = np.asarray(grid.oversize_ids)
+    assert (n - 1) in ids[ids >= 0]
+    assert int(jnp.sum(grid.sorted_gauss[
+        :int(jnp.sum(gt.unpack_cell_meta(grid.cell_meta)[1]))] == n - 1)) == 0
+
+    out = gt.trace(ro, rd, grid, inputs, cfg=cfg, sh_deg=3)
+    np.testing.assert_allclose(out.alpha, ref.alpha, atol=3e-5)
+    np.testing.assert_allclose(out.color, ref.color, atol=3e-5)
+    np.testing.assert_allclose(out.depth, ref.depth, atol=1e-4)
+
+    # segmented re-trace with tight budgets: oversize windows must
+    # partition across rounds (no double blend, no loss)
+    cfg2 = gt.TracerConfig(grid_res=8, pair_capacity=2 ** 15, max_cells=8,
+                           max_hits=16, hit_budget=8, span_cap=6,
+                           oversize_cap=8, n_segments=4, retrace_frac=1.0,
+                           max_crossings=12)
+    out2 = gt.trace_segments(ro, rd, grid, inputs, cfg=cfg2, sh_deg=3)
+    np.testing.assert_allclose(out2.alpha, ref.alpha, atol=2e-3)
+    np.testing.assert_allclose(out2.color, ref.color, atol=2e-3)
+
+    # gradients flow to the oversize gaussian through the merged blend
+    def loss(op):
+        inp = inputs._replace(opacity=op)
+        return gt.trace(ro, rd, grid, inp, cfg=cfg, sh_deg=3).color.sum()
+    g = jax.grad(loss)(inputs.opacity)
+    assert float(jnp.abs(g[n - 1])) > 0.0

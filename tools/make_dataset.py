@@ -158,7 +158,9 @@ def make_envs(res):
 
 GRID_G = 512          # ground radiosity texture (GRID_G^2 over [-2,2]^2)
 GRID_S = (256, 512)   # sphere radiosity texture (lat-long)
-RAD_SPP = (512, 512)  # irradiance estimator budget for the textures
+RAD_SPP = (192, 128)  # irradiance budget: [pts*spp, 3] temps pad 42x
+                      # under the (8,128) tile layout, and the remat'd
+                      # program keeps ~20 alive — budget sized to 16 GB
 
 
 def _shade_points(pos, nrm, wo, obj, env_lin, env_pdf, trace_fn, spp, pid):
@@ -210,7 +212,7 @@ def build_radiosity(env_lin, env_pdf, spp=None):
     gn = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), gp.shape)
     e_g = []
     # 8192-point chunks: one 65536x1024-sample dispatch OOMs 16 GB HBM
-    RC = 8192
+    RC = 2048
     for i in range(0, gp.shape[0], RC):
         e_g.append(irradiance(gp[i:i + RC], gn[i:i + RC]))
     e_g = jnp.concatenate(e_g).reshape(GRID_G, GRID_G, 3)
@@ -384,7 +386,7 @@ def main():
     ap.add_argument("--spp", type=int, nargs=2, default=(512, 256))
     ap.add_argument("--ss", type=int, default=2, help="supersampling grid")
     ap.add_argument("--env_res", type=int, default=256)
-    ap.add_argument("--chunk", type=int, default=8192)  # 16384x768spp was HBM-marginal
+    ap.add_argument("--chunk", type=int, default=1024)  # [chunk*spp, 3] temps pad 42x; ~20 live
     ap.add_argument("--relight_envs", nargs="*", default=["sunset", "sun"])
     ap.add_argument("--grid", type=int, nargs=2, default=(512, 256),
                     metavar=("GROUND", "SPHERE_H"),

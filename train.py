@@ -245,6 +245,22 @@ def main():
         print(f"resumed stage-2 from {s2_resume} @ iter {first_iter}",
               flush=True)
     grid = gt.build_grid_from_gaussians(state.params, state.aux, st.tracer)
+    n_ov = int(grid.oversize)
+    if n_ov > 0 and cfg.pipe.tracer_oversize_cap == 0:
+        # surfels wider than span_cap grid cells (floor/sky planes) would
+        # be silently truncated; auto-enable the exact brute-force merge
+        # sized to this scene, re-save cfg so evals replay the same setting
+        cfg.pipe.tracer_oversize_cap = min(128, ((n_ov + 31) // 32) * 32)
+        print(f"auto-enabled tracer_oversize_cap="
+              f"{cfg.pipe.tracer_oversize_cap} ({n_ov} gaussians span > "
+              f"span_cap cells)", flush=True)
+        cfg.save()
+        st = s2.from_configs(cfg, img_w=w, img_h=h)
+        grid = gt.build_grid_from_gaussians(state.params, state.aux,
+                                            st.tracer)
+        if int(grid.oversize) > 0:
+            print(f"WARNING: {int(grid.oversize)} oversize gaussians "
+                  f"beyond the cap remain window-truncated", flush=True)
     cam_params = [c.params() for c in cams]
     gt_dev = [jnp.asarray(g) for g in gt_images]
 
@@ -337,6 +353,13 @@ def main():
                           f"grid pairs {m.get('grid_overflow', 0):.0f}; "
                           "results silently degrade. Raise --dup_capacity / "
                           "tracer pair_capacity.", file=sys.stderr, flush=True)
+                if m.get("grid_oversize", 0) > 0:
+                    print(f"WARNING iter {it}: {m['grid_oversize']:.0f} "
+                          "gaussians span > span_cap grid cells — their "
+                          "insertion is TRUNCATED to a centered window and "
+                          "rays far from their center miss them. Raise "
+                          "tracer span_cap or lower tracer_grid_res.",
+                          file=sys.stderr, flush=True)
                 if m.get("trace_more_frac", 0) > 0.05:
                     print(f"WARNING iter {it}: {100*m['trace_more_frac']:.1f}% "
                           "of traced rays still truncated after all re-trace "
