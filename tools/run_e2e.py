@@ -26,20 +26,32 @@ sys.path.insert(0, "/root/repo")
 ap = argparse.ArgumentParser()
 ap.add_argument("--root", default="/tmp/e2e")
 ap.add_argument("--name", default="e2e_shadow")
-ap.add_argument("--img", type=int, default=800)
+ap.add_argument("--img", type=int, default=400,
+                help="dataset resolution; 400 matches the fork's own eval "
+                     "resolution (-r 2 of 800, train_stage2_spec_v5.sh:30) "
+                     "and keeps the analytic GT render ~4x cheaper than 800")
 ap.add_argument("--ss", type=int, default=1,
-                help="dataset supersampling (1 keeps the 800^2 GT render "
+                help="dataset supersampling (1 keeps the GT render "
                      "~4x cheaper; edges slightly aliased)")
+ap.add_argument("--ds_spp", type=int, nargs=2, default=(256, 128),
+                metavar=("DIFFUSE", "LIGHT"),
+                help="dataset GT sample counts (the analytic path tracer's "
+                     "MC noise floor; 256+128 ~= 40 dB GT noise ceiling)")
 ap.add_argument("--n_train", type=int, default=64)
 ap.add_argument("--n_test", type=int, default=8)
 ap.add_argument("--s1_iters", type=int, default=3000)
 ap.add_argument("--s2_iters", type=int, default=1500)
-ap.add_argument("--resolution", type=int, default=2,
-                help="stage-2/eval resolution divisor (reference -r 2)")
+ap.add_argument("--resolution", type=int, default=1,
+                help="stage-2/eval resolution divisor on top of --img "
+                     "(img 400 + divisor 1 ≙ reference 800 + -r 2)")
+ap.add_argument("--eval_spp", type=int, nargs=2, default=(512, 256),
+                metavar=("DIFFUSE", "LIGHT"),
+                help="NVS/relight eval sample counts (reference README.md:73)")
 ap.add_argument("--skip_dataset", action="store_true")
 ap.add_argument("--skip_stage1", action="store_true")
 ap.add_argument("--skip_stage2", action="store_true")
-ap.add_argument("--max_eval_images", type=int, default=8)
+ap.add_argument("--max_eval_images", type=int, default=4)
+ap.add_argument("--relight_images", type=int, default=4)
 args = ap.parse_args()
 
 ds = os.path.join(args.root, "dataset")
@@ -63,7 +75,8 @@ py = sys.executable
 if not args.skip_dataset:
     run("dataset", [py, "tools/make_dataset.py", "--out", ds,
                     "--img", str(args.img), "--n_train", str(args.n_train),
-                    "--n_test", str(args.n_test), "--ss", str(args.ss)])
+                    "--n_test", str(args.n_test), "--ss", str(args.ss),
+                    "--spp", str(args.ds_spp[0]), str(args.ds_spp[1])])
 
 if not args.skip_stage1:
     run("stage1", [py, "train_refgaussian.py", "-s", ds, "-m", s1,
@@ -79,10 +92,15 @@ if not args.skip_stage2:
                    "--vis_interval", "0"])
 
 run("nvs", [py, "render.py", "-m", s2,
-            "--max_images", str(args.max_eval_images)])
+            "--max_images", str(args.max_eval_images),
+            "--diffuse_sample_num", str(args.eval_spp[0]),
+            "--light_sample_num", str(args.eval_spp[1])])
 run("albedo_scale", [py, "eval_material.py", "-m", s2, "--compute_scale"],
     timeout=7200)
 run("relight", [py, "eval_relighting.py", "-m", s2,
+                "--max_images", str(args.relight_images),
+                "--diffuse_sample_num", str(args.eval_spp[0]),
+                "--light_sample_num", str(args.eval_spp[1]),
                 "--envmaps", os.path.join(ds, "sunset.exr"),
                 os.path.join(ds, "sun.exr")])
 run("material", [py, "eval_material.py", "-m", s2], timeout=7200)
