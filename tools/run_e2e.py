@@ -79,9 +79,27 @@ if not args.skip_dataset:
                     "--spp", str(args.ds_spp[0]), str(args.ds_spp[1])])
 
 if not args.skip_stage1:
+    # scale the reference 50k-iteration phase/densify schedule
+    # (arguments/refgs.py:98-191 defaults) proportionally to s1_iters, so a
+    # shortened run still passes through initial->volume->surfel and the
+    # densify/reset cadence instead of staying in the volume phase forever
+    f = args.s1_iters / 50_000.0
+    sch = {
+        "volume_render_until_iter": round(18_000 * f),
+        "normal_smooth_until_iter": round(18_000 * f),
+        "indirect_from_iter": round(20_000 * f),
+        "feature_rest_from_iter": round(5_000 * f),
+        "normal_prop_until_iter": round(25_000 * f),
+        "densify_until_iter": round(25_000 * f),
+        "densify_from_iter": max(100, round(500 * f)),
+        "opacity_reset_interval": max(500, round(3_000 * f)),
+        "dist_loss_start": round(3_000 * f),
+        "position_lr_max_steps": args.s1_iters,
+    }
+    sch_flags = [x for k, v in sch.items() for x in (f"--{k}", str(v))]
     run("stage1", [py, "train_refgaussian.py", "-s", ds, "-m", s1,
                    "--iterations", str(args.s1_iters),
-                   "--white_background", "--eval"])
+                   "--white_background", "--eval"] + sch_flags)
 
 if not args.skip_stage2:
     run("stage2", [py, "train.py", "-s", ds, "-m", s2,
