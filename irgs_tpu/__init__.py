@@ -32,13 +32,35 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # the TPU AOT path; cache them across processes.
 import os as _os
 
+def _host_tag() -> str:
+    """Fingerprint the host CPU features. XLA:CPU AOT artifacts embed the
+    compile machine's ISA (AMX/AVX512 etc.); loading one on a host without
+    those features SIGSEGVs inside backend_compile_and_load (observed: a
+    round-4 judge segfault and a round-5 test-suite segfault, both from a
+    cache dir shared across re-provisioned machines). Scoping the cache
+    path by feature hash costs one recompile per machine change."""
+    import hashlib as _hashlib
+    try:
+        with open("/proc/cpuinfo") as _f:
+            flags = next((l for l in _f if l.startswith("flags")), "")
+    except OSError:
+        import platform as _platform
+        flags = _platform.processor()
+    return _hashlib.md5(flags.encode()).hexdigest()[:8]
+
+
 _cache_dir = _os.environ.get(
     "IRGS_TPU_COMPILE_CACHE",
-    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..", ".jax_cache"),
+    _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..",
+                  ".jax_cache", _host_tag()),
 )
-try:
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-except Exception:  # cache is an optimization, never a requirement
-    pass
+# IRGS_TPU_COMPILE_CACHE="" disables the persistent cache entirely (the
+# CPU test suite does this: XLA:CPU AOT (de)serialization has segfaulted
+# on this image — see tests/conftest.py)
+if _cache_dir:
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # cache is an optimization, never a requirement
+        pass
 

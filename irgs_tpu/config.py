@@ -121,6 +121,13 @@ class PipelineConfig:
     tracer_prefilter_width_eval: int = 0
     tracer_retrace_prefilter_width_eval: int = 0
     tracer_table_bf16_eval: bool = False
+    # stable top_k k-buffer extraction instead of the full two-key sort of
+    # all select lanes: oracle-exact (tests/test_tracer.py tiled topk
+    # cases; audit frac(>0.05)=0.000) and 1.40x on the eval path at
+    # shipping budgets (BASELINE.md r4 ladder A/B: 362.5 vs 508.9 ms per
+    # 2^16 rays). Forward-only eval default; the differentiated train
+    # path keeps the two-key sort.
+    tracer_select_topk_eval: bool = True
     tracer_hit_budget_eval: int = 24
     tracer_max_crossings_eval: int = 24
     # Eval re-trace schedule: geometrically-declining unrolled rounds

@@ -233,6 +233,7 @@ class TracerConfig:
                 retrace_hit_budget=pipe.tracer_retrace_hit_budget_eval,
                 retrace_max_crossings=pipe.tracer_retrace_max_crossings_eval,
                 table_bf16=getattr(pipe, "tracer_table_bf16_eval", False),
+                select_topk=getattr(pipe, "tracer_select_topk_eval", True),
                 adaptive=getattr(pipe, "tracer_adaptive_eval", True),
                 oversize_cap=getattr(pipe, "tracer_oversize_cap", 0),
                 transmittance_min=pipe.transmittance_min,

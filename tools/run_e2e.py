@@ -50,6 +50,8 @@ ap.add_argument("--eval_spp", type=int, nargs=2, default=(512, 256),
 ap.add_argument("--skip_dataset", action="store_true")
 ap.add_argument("--skip_stage1", action="store_true")
 ap.add_argument("--skip_stage2", action="store_true")
+ap.add_argument("--skip_eval", action="store_true",
+                help="train-only (soak runs: schedules + curves, no metrics)")
 ap.add_argument("--max_eval_images", type=int, default=4)
 ap.add_argument("--relight_images", type=int, default=4)
 args = ap.parse_args()
@@ -109,6 +111,9 @@ if not args.skip_stage2:
                    "--white_background", "--eval",
                    "--vis_interval", "0"])
 
+if args.skip_eval:
+    print("skip_eval: stopping after training", flush=True)
+    raise SystemExit(0)
 run("nvs", [py, "render.py", "-m", s2,
             "--max_images", str(args.max_eval_images),
             "--diffuse_sample_num", str(args.eval_spp[0]),

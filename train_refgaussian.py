@@ -34,6 +34,11 @@ def main():
     parser.add_argument("--toy", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--mesh_interval", type=int, default=2000)
+    # ≙ reference evaluate_psnr during training (train_refgaussian.py:236-249
+    # + the train-PSNR tqdm): periodic held-out PSNR, logged to
+    # train_log.jsonl. 0 = auto (six evals over the run).
+    parser.add_argument("--psnr_eval_interval", type=int, default=0)
+    parser.add_argument("--psnr_eval_views", type=int, default=2)
     args = parser.parse_args()
     cfg = apply_args(cfg, args)
     if not cfg.model.model_path:
@@ -63,6 +68,7 @@ def main():
         pts = np.random.RandomState(0).uniform(-1.3, 1.3, (20000, 3)).astype(np.float32)
         colors = np.full((20000, 3), 0.5, np.float32)
         cameras_extent = 3.3
+        test_cams = []
     else:
         from irgs_tpu.scene.datasets import load_scene
         info = load_scene(cfg.model.source_path, cfg.model.white_background,
@@ -73,6 +79,7 @@ def main():
         masks = [c.mask for c in cams]
         pts, colors = info.points, info.colors
         cameras_extent = info.radius
+        test_cams = info.test_cameras or []
 
     params, aux = rgs.init_ref_from_pcd(
         pts, colors, cfg.model.max_gaussians, cfg.model.sh_degree,
@@ -102,6 +109,34 @@ def main():
             dist_loss_start=opt.dist_loss_start,
             normal_smooth_from_iter=opt.normal_smooth_from_iter,
             normal_smooth_until_iter=opt.normal_smooth_until_iter)
+
+    # held-out PSNR gate (≙ reference evaluate_psnr, train_refgaussian.py
+    # :236-249): render test views with the CURRENT phase renderer
+    import functools
+
+    from irgs_tpu.render import ref_gaussian as rr
+    from irgs_tpu.train import losses as L
+
+    @functools.partial(jax.jit,
+                       static_argnames=("phase", "sh_deg", "use_ind"))
+    def eval_render(params, p_aux, camp, vol_, *, phase, sh_deg, use_ind):
+        bg = jnp.full((3,), 1.0 if cfg.model.white_background else 0.0,
+                      jnp.float32)
+        kw = dict(img_w=w, img_h=h, active_sh_degree=sh_deg,
+                  dup_capacity=cfg.pipe.dup_capacity or 2 ** 20)
+        if phase == "initial":
+            return rr.render_initial(params, p_aux, camp, bg, **kw)["render"]
+        if phase == "volume":
+            env2 = s1.EnvMips.build(params.env2)
+            return rr.render_volume(params, p_aux, camp, bg, env2, fg_lut,
+                                    vol=vol_, use_indirect=use_ind,
+                                    **kw)["render"]
+        env1 = s1.EnvMips.build(params.env1)
+        return rr.render_surfel(params, p_aux, camp, bg, env1, fg_lut,
+                                vol=vol_, use_indirect=use_ind,
+                                **kw)["render"]
+
+    psnr_iv = args.psnr_eval_interval or max(500, opt.iterations // 6)
 
     gt_dev = [jnp.asarray(g) for g in gt_images]
     order = rng.permutation(len(cams))
@@ -201,6 +236,21 @@ def main():
                       "increase --dup_capacity", flush=True)
             print(json.dumps(m), flush=True)
             log.write(json.dumps(m) + "\n")
+            log.flush()
+        if test_cams and args.psnr_eval_views > 0 and (
+                it % psnr_iv == 0 or it == opt.iterations):
+            ps = []
+            for tc in test_cams[:args.psnr_eval_views]:
+                img = eval_render(state.params, state.aux, tc.params(),
+                                  vol, phase=phase, sh_deg=sh_deg,
+                                  use_ind=use_indirect and vol is not None)
+                ps.append(float(L.psnr(jnp.clip(img, 0, 1),
+                                       jnp.asarray(tc.image))))
+            rec = {"iter": it, "phase": phase,
+                   "test_psnr": round(sum(ps) / len(ps), 3),
+                   "test_views": len(ps)}
+            print(json.dumps(rec), flush=True)
+            log.write(json.dumps(rec) + "\n")
             log.flush()
         if it % 10000 == 0 or it == opt.iterations:
             save_checkpoint(os.path.join(cfg.model.model_path, f"chkpnt{it}.ckpt"),
