@@ -99,8 +99,11 @@ if not args.skip_stage1:
         "position_lr_max_steps": args.s1_iters,
     }
     sch_flags = [x for k, v in sch.items() for x in (f"--{k}", str(v))]
+    # 2^21 dup capacity: the 100k-point init at 400^2 overflows the 2^20
+    # default (observed 7-12% dropped duplicates = silently biased raster)
     run("stage1", [py, "train_refgaussian.py", "-s", ds, "-m", s1,
                    "--iterations", str(args.s1_iters),
+                   "--dup_capacity", str(2 ** 21),
                    "--white_background", "--eval"] + sch_flags)
 
 if not args.skip_stage2:
