@@ -40,6 +40,10 @@ ap.add_argument("--ds_spp", type=int, nargs=2, default=(256, 128),
 ap.add_argument("--n_train", type=int, default=64)
 ap.add_argument("--n_test", type=int, default=8)
 ap.add_argument("--s1_iters", type=int, default=3000)
+ap.add_argument("--s1_indirect_tail", type=int, default=0,
+                help=">0: run the indirect+TSDF surfel phase only for the "
+                     "last N iters (it costs ~2.6x a plain surfel step; a "
+                     "short tail still exercises TSDF+SDF-march end-to-end)")
 ap.add_argument("--s2_iters", type=int, default=1500)
 ap.add_argument("--resolution", type=int, default=1,
                 help="stage-2/eval resolution divisor on top of --img "
@@ -89,7 +93,9 @@ if not args.skip_stage1:
     sch = {
         "volume_render_until_iter": round(18_000 * f),
         "normal_smooth_until_iter": round(18_000 * f),
-        "indirect_from_iter": round(20_000 * f),
+        "indirect_from_iter": (args.s1_iters - args.s1_indirect_tail
+                               if args.s1_indirect_tail > 0
+                               else round(20_000 * f)),
         "feature_rest_from_iter": round(5_000 * f),
         "normal_prop_until_iter": round(25_000 * f),
         "densify_until_iter": round(25_000 * f),
