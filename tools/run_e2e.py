@@ -67,13 +67,19 @@ os.makedirs(args.root, exist_ok=True)
 timings = {}
 
 
-def run(tag, cmd, timeout=14400):
+def run(tag, cmd, timeout=14400, required=True):
+    """required=False: record the failure and keep going (a failed eval
+    stage must not void the evidence the earlier stages already produced)."""
     print(f"+ [{tag}] {' '.join(cmd)}", flush=True)
     t0 = time.time()
     proc = subprocess.run(cmd, cwd="/root/repo", text=True, timeout=timeout)
     timings[tag] = round(time.time() - t0, 1)
     if proc.returncode != 0:
-        raise SystemExit(f"[{tag}] failed rc={proc.returncode}")
+        timings[tag + "_rc"] = proc.returncode
+        if required:
+            raise SystemExit(f"[{tag}] failed rc={proc.returncode}")
+        print(f"[{tag}] FAILED rc={proc.returncode} (continuing)", flush=True)
+        return
     print(f"[{tag}] done in {timings[tag]}s", flush=True)
 
 
@@ -128,14 +134,15 @@ run("nvs", [py, "render.py", "-m", s2,
             "--diffuse_sample_num", str(args.eval_spp[0]),
             "--light_sample_num", str(args.eval_spp[1])])
 run("albedo_scale", [py, "eval_material.py", "-m", s2, "--compute_scale"],
-    timeout=7200)
+    timeout=7200, required=False)
 run("relight", [py, "eval_relighting.py", "-m", s2,
                 "--max_images", str(args.relight_images),
                 "--diffuse_sample_num", str(args.eval_spp[0]),
                 "--light_sample_num", str(args.eval_spp[1]),
                 "--envmaps", os.path.join(ds, "sunset.exr"),
-                os.path.join(ds, "sun.exr")])
-run("material", [py, "eval_material.py", "-m", s2], timeout=7200)
+                os.path.join(ds, "sun.exr")], required=False)
+run("material", [py, "eval_material.py", "-m", s2], timeout=7200,
+    required=False)
 
 # collect the evidence into the repo
 out = os.path.join("/root/repo", "results", args.name)
