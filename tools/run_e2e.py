@@ -132,7 +132,7 @@ if args.skip_eval:
 run("nvs", [py, "render.py", "-m", s2,
             "--max_images", str(args.max_eval_images),
             "--diffuse_sample_num", str(args.eval_spp[0]),
-            "--light_sample_num", str(args.eval_spp[1])])
+            "--light_sample_num", str(args.eval_spp[1])], required=False)
 run("albedo_scale", [py, "eval_material.py", "-m", s2, "--compute_scale"],
     timeout=7200, required=False)
 run("relight", [py, "eval_relighting.py", "-m", s2,
