@@ -246,7 +246,17 @@ def main():
               flush=True)
     grid = gt.build_grid_from_gaussians(state.params, state.aux, st.tracer)
     n_ov = int(grid.oversize)
-    if n_ov > 0 and cfg.pipe.tracer_oversize_cap == 0:
+    if cfg.pipe.tracer_oversize_cap < 0:
+        # -1 = force the merge OFF (window truncation + warning). Needed
+        # 2026-08-21: the remote AOT helper crashes (HTTP 500, helper exit
+        # 1) compiling the DIFFERENTIATED oversize merge in stage2_step;
+        # the forward-only eval path compiles fine.
+        cfg.pipe.tracer_oversize_cap = 0
+        if n_ov > 0:
+            print(f"WARNING: oversize merge forced off; {n_ov} gaussians "
+                  "span > span_cap cells and are window-truncated",
+                  flush=True)
+    elif n_ov > 0 and cfg.pipe.tracer_oversize_cap == 0:
         # surfels wider than span_cap grid cells (floor/sky planes) would
         # be silently truncated; auto-enable the exact brute-force merge
         # sized to this scene, re-save cfg so evals replay the same setting
